@@ -1,0 +1,67 @@
+"""Fixed-capacity segment reductions.
+
+TPU-native replacement for the reference's `torch_scatter.scatter(...,
+reduce=max/mean/sum)` call sites (models/pillar_encoder.py:116-120,
+motionnet.py:159-160, tpointnet.py:227-259, alignnet.py:133-134,
+loss.py:216). All ops take a *static* `num_segments` so they jit-compile;
+invalid rows are masked by routing them to an overflow segment that the
+caller slices off, or by zero weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def segment_sum(data, segment_ids, num_segments: int):
+    """data [N, ...] summed into [num_segments, ...]."""
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data, segment_ids, num_segments: int, eps: float = 1e-12):
+    total = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    ones = jnp.ones(data.shape[:1], data.dtype)
+    count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    return total / jnp.maximum(count, eps).reshape((num_segments,) + (1,) * (data.ndim - 1))
+
+
+def segment_max(data, segment_ids, num_segments: int, fill_value: float = 0.0):
+    """Max-reduce; empty segments get `fill_value` (torch_scatter uses 0 for
+    float zeros tensor init — the reference relies on empty segments never
+    being read, we make the fill explicit)."""
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, fill_value)
+
+
+def segment_min(data, segment_ids, num_segments: int, fill_value: float = 0.0):
+    out = jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, fill_value)
+
+
+def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: float = 0.0):
+    """Segment max where invalid rows contribute nothing."""
+    masked = jnp.where(valid.reshape((-1,) + (1,) * (data.ndim - 1)), data, _NEG_INF)
+    out = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments)
+    return jnp.where(out <= _NEG_INF * 0.5, fill_value, out)
+
+
+def masked_segment_sum(data, segment_ids, valid, num_segments: int):
+    masked = data * valid.reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)
+    return jax.ops.segment_sum(masked, segment_ids, num_segments=num_segments)
+
+
+def masked_segment_mean(data, segment_ids, valid, num_segments: int, eps: float = 1e-12):
+    total = masked_segment_sum(data, segment_ids, valid, num_segments)
+    count = jax.ops.segment_sum(
+        valid.astype(data.dtype), segment_ids, num_segments=num_segments
+    )
+    return total / jnp.maximum(count, eps).reshape((num_segments,) + (1,) * (data.ndim - 1))
+
+
+def segment_count(segment_ids, valid, num_segments: int):
+    return jax.ops.segment_sum(
+        valid.astype(jnp.float32), segment_ids, num_segments=num_segments
+    )

@@ -1,0 +1,184 @@
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from pcaccumulation_tpu.ops import segment as seg
+from pcaccumulation_tpu.ops.sinkhorn import log_sinkhorn, square_distance
+from pcaccumulation_tpu.ops import bilinear
+from pcaccumulation_tpu.ops.lovasz import lovasz_softmax
+
+
+# ---------------------------------------------------------------- segment ops
+def test_segment_reductions(rng):
+    n, s = 200, 16
+    data = rng.normal(size=(n, 4)).astype(np.float32)
+    ids = rng.integers(0, s, size=n)
+    out_sum = np.asarray(seg.segment_sum(jnp.asarray(data), jnp.asarray(ids), s))
+    out_max = np.asarray(seg.segment_max(jnp.asarray(data), jnp.asarray(ids), s))
+    out_mean = np.asarray(seg.segment_mean(jnp.asarray(data), jnp.asarray(ids), s))
+    for k in range(s):
+        m = ids == k
+        if m.sum():
+            np.testing.assert_allclose(out_sum[k], data[m].sum(0), rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(out_max[k], data[m].max(0), rtol=1e-5)
+            np.testing.assert_allclose(out_mean[k], data[m].mean(0), rtol=1e-4, atol=1e-5)
+
+
+def test_masked_segment_max_empty_fill(rng):
+    data = np.ones((10, 2), np.float32)
+    ids = np.zeros(10, np.int64)
+    valid = np.zeros(10, bool)
+    out = np.asarray(seg.masked_segment_max(jnp.asarray(data), jnp.asarray(ids), jnp.asarray(valid), 3, fill_value=0.0))
+    np.testing.assert_allclose(out, np.zeros((3, 2)))
+
+
+def test_masked_segment_mean(rng):
+    data = rng.normal(size=(50, 3)).astype(np.float32)
+    ids = rng.integers(0, 4, size=50)
+    valid = rng.random(50) > 0.3
+    out = np.asarray(seg.masked_segment_mean(jnp.asarray(data), jnp.asarray(ids), jnp.asarray(valid), 4))
+    for k in range(4):
+        m = (ids == k) & valid
+        if m.sum():
+            np.testing.assert_allclose(out[k], data[m].mean(0), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- sinkhorn
+def _torch_sinkhorn_slack(log_alpha, n_iters):
+    """Literal re-execution of the reference algorithm in torch (egomotion.py:100-137)."""
+    zero_pad = torch.nn.ZeroPad2d((0, 1, 0, 1))
+    la = zero_pad(log_alpha[:, None, :, :]).squeeze(1)
+    for _ in range(n_iters):
+        la = torch.cat(
+            (la[:, :-1, :] - torch.logsumexp(la[:, :-1, :], dim=2, keepdim=True), la[:, -1, None, :]), dim=1
+        )
+        la = torch.cat(
+            (la[:, :, :-1] - torch.logsumexp(la[:, :, :-1], dim=1, keepdim=True), la[:, :, -1, None]), dim=2
+        )
+    return la[:, :-1, :-1]
+
+
+def test_sinkhorn_matches_reference_semantics(rng):
+    la = rng.normal(size=(2, 12, 12)).astype(np.float32)
+    ours = np.asarray(log_sinkhorn(jnp.asarray(la), n_iters=3, slack=True))
+    ref = _torch_sinkhorn_slack(torch.tensor(la), 3).numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_square_distance(rng):
+    a = rng.normal(size=(5, 8)).astype(np.float32)
+    b = rng.normal(size=(7, 8)).astype(np.float32)
+    d = np.asarray(square_distance(jnp.asarray(a), jnp.asarray(b)))
+    expected = ((a[:, None] - b[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, expected, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- bilinear
+def test_bilinear_sample_matches_torch_grid_sample(rng):
+    c, h, w = 3, 16, 20
+    img = rng.normal(size=(c, h, w)).astype(np.float32)
+    n = 50
+    uv = (rng.random((n, 2)) * 2.4 - 1.2).astype(np.float32)  # include OOB
+
+    for mode in ("zeros", "border"):
+        ours = np.asarray(
+            bilinear.bilinear_sample(jnp.asarray(img), jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]), padding_mode=mode)
+        )
+        grid = torch.tensor(uv).view(1, 1, n, 2)
+        ref = F.grid_sample(
+            torch.tensor(img)[None], grid, mode="bilinear", padding_mode=mode, align_corners=False
+        )[0, :, 0, :].T.numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=mode)
+
+
+def test_warp_bev_identity(rng):
+    c, h, w = 2, 8, 8
+    img = rng.normal(size=(c, h, w)).astype(np.float32)
+    pose = jnp.eye(4)
+    out = np.asarray(bilinear.warp_bev(jnp.asarray(img), pose, 1.0, 1.0, -4.0, -4.0))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_warp_bev_matches_torch(rng):
+    """Full parity with the reference grid construction + grid_sample."""
+    c, h, w = 4, 32, 32
+    x_reso = y_reso = 0.25
+    x_min = y_min = -4.0
+    img = rng.normal(size=(c, h, w)).astype(np.float32)
+    theta = 0.2
+    pose = np.eye(4, dtype=np.float32)
+    pose[:2, :2] = [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    pose[0, 3] = 0.7
+
+    ours = np.asarray(bilinear.warp_bev(jnp.asarray(img), jnp.asarray(pose), x_reso, y_reso, x_min, y_min))
+
+    # reference: motionnet.py:45-114
+    pose_inv = torch.linalg.inv(torch.tensor(pose))
+    xx = (torch.arange(0, w).view(1, -1).repeat(h, 1) + 0.5).float()
+    yy = (torch.arange(0, h).view(-1, 1).repeat(1, w) + 0.5).float()
+    grid = torch.cat((xx.view(1, h, w), yy.view(1, h, w)), 0)
+    grid[0] = grid[0] * x_reso + x_min
+    grid[1] = grid[1] * y_reso + y_min
+    g = grid.view(2, -1)
+    tg = pose_inv[:2, :2] @ g + pose_inv[:2, 3:4]
+    tg[0] = tg[0] / abs(x_min)
+    tg[1] = tg[1] / abs(y_min)
+    tg = tg.view(2, h, w).permute(1, 2, 0)[None]
+    ref = F.grid_sample(torch.tensor(img)[None], tg, mode="bilinear", padding_mode="zeros", align_corners=False)[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_scatter_gather_bev_roundtrip(rng):
+    m, c2, size = 30, 5, 64
+    feats = rng.normal(size=(m, c2)).astype(np.float32)
+    idx = rng.choice(size, size=m, replace=False).astype(np.int32)
+    valid = rng.random(m) > 0.2
+    canvas = bilinear.scatter_bev(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(valid), size)
+    back = np.asarray(bilinear.gather_bev(canvas, jnp.asarray(idx), jnp.asarray(valid)))
+    expected = feats * valid[:, None]
+    np.testing.assert_allclose(back, expected, atol=1e-6)
+
+
+# ---------------------------------------------------------------- lovasz
+def _torch_lovasz(probas, labels):
+    """Literal reference implementation (libs/lovasz_softmax.py:56-100)."""
+    C = probas.size(1)
+    losses = []
+    for c in range(C):
+        fg = (labels == c).float()
+        if fg.sum() == 0:
+            continue
+        errors = (fg - probas[:, c]).abs()
+        errors_sorted, perm = torch.sort(errors, 0, descending=True)
+        fg_sorted = fg[perm]
+        p = len(fg_sorted)
+        gts = fg_sorted.sum()
+        intersection = gts - fg_sorted.cumsum(0)
+        union = gts + (1 - fg_sorted).cumsum(0)
+        jaccard = 1.0 - intersection / union
+        if p > 1:
+            jaccard[1:p] = jaccard[1:p] - jaccard[0:-1]
+        losses.append(torch.dot(errors_sorted, jaccard))
+    return torch.stack(losses).mean()
+
+
+def test_lovasz_matches_reference(rng):
+    n = 100
+    logits = rng.normal(size=(n, 2)).astype(np.float32)
+    probas = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    labels = rng.integers(0, 2, size=n)
+    ours = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels)))
+    ref = float(_torch_lovasz(torch.tensor(probas), torch.tensor(labels)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_lovasz_mask_equals_subset(rng):
+    n = 80
+    logits = rng.normal(size=(n, 2)).astype(np.float32)
+    probas = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    labels = rng.integers(0, 2, size=n)
+    valid = rng.random(n) > 0.4
+    ours = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels), jnp.asarray(valid)))
+    ref = float(_torch_lovasz(torch.tensor(probas[valid]), torch.tensor(labels[valid])))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
