@@ -1,0 +1,134 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pcaccumulation_tpu.config import load_config
+from pcaccumulation_tpu.data.synthetic import generate_sample, write_synthetic_dataset
+from pcaccumulation_tpu.data.voxelizer import voxelize
+from pcaccumulation_tpu.data.dataset import prep_sample, SceneDataset
+from pcaccumulation_tpu.data.loader import make_loader
+from pcaccumulation_tpu.ops import se3
+
+
+def small_cfg(tmp_path=None):
+    cfg = load_config()
+    cfg["voxel_generator"].update(
+        {"range": [-36, -36, -5, 36, 36, 3], "voxel_size": [0.25, 0.25, 8], "n_sweeps": 5,
+         "crop_range": [32, -5, 3]}
+    )
+    cfg["capacity"] = {"max_points": 20000, "max_pillars": 12000, "max_instances": 8}
+    cfg["data"]["n_frames"] = 5
+    if tmp_path is not None:
+        cfg["path"]["dataset_base"] = str(tmp_path)
+    return cfg
+
+
+def test_synthetic_gt_consistency():
+    """Ego compensation + instance motion must collapse each dynamic object
+    onto its frame-0 footprint (the core contract at libs/dataset.py:38-41)."""
+    data = generate_sample(seed=0, n_frames=5)
+    pts = jnp.asarray(data["raw_points"])
+    tid = jnp.asarray(data["time_indice"])
+    inst = jnp.asarray(data["inst_labels"])
+    ego = jnp.asarray(data["ego_motion_gt"])
+    bbox = jnp.asarray(data["bbox_tsfm"])
+
+    comp = se3.ego_motion_compensation(pts, tid, ego)
+    rec = se3.reconstruct_sequence(comp, tid, inst, bbox)
+
+    rec = np.asarray(rec)
+    tid_np, inst_np = np.asarray(tid), np.asarray(inst)
+
+    # background points: reconstruction == ego compensation (identity motion),
+    # and static world structure stays static across frames
+    for k in range(1, int(inst_np.max()) + 1):
+        sel0 = (inst_np == k) & (tid_np == 0)
+        centre0 = rec[sel0].mean(0)
+        for t in range(1, 5):
+            selt = (inst_np == k) & (tid_np == t)
+            centre_t = rec[selt].mean(0)
+            assert np.linalg.norm(centre_t - centre0) < 0.05, (k, t)
+
+
+def test_synthetic_motion_labels():
+    data = generate_sample(seed=1, n_frames=5)
+    # moving points are foreground; background is static
+    assert np.all(data["fb_labels"][data["sd_labels"] == 1] == 1)
+    assert np.all(data["inst_labels"][data["fb_labels"] == 0] == 0)
+
+
+def test_voxelize_bruteforce(rng):
+    n = 5000
+    pts = (rng.random((n, 3)) * 70 - 35).astype(np.float32)
+    tid = rng.integers(0, 5, n).astype(np.int32)
+    coords, valid, p2v, in_range = voxelize(
+        pts, tid, [0.25, 0.25, 8], [-36, -36, -5, 36, 36, 3], 5, 12000
+    )
+    m = valid.sum()
+    # every valid point maps to a pillar whose (t, y, x) matches its own cell
+    for i in rng.choice(n, 200, replace=False):
+        if not in_range[i] or p2v[i] >= 12000:
+            continue
+        t, y, x = coords[p2v[i]]
+        assert t == tid[i]
+        assert x == int(np.floor((pts[i, 0] + 36) / 0.25))
+        assert y == int(np.floor((pts[i, 1] + 36) / 0.25))
+    # pillars are unique
+    keys = coords[valid]
+    assert len(np.unique(keys[:, 0] * 10**8 + keys[:, 1] * 10**4 + keys[:, 2])) == m
+
+
+def test_prep_sample_shapes_and_masks():
+    cfg = small_cfg()
+    data = generate_sample(seed=2, n_frames=5)
+    s = prep_sample(data, cfg, augment=False)
+    cap = cfg["capacity"]
+    assert s["points"].shape == (cap["max_points"], 3)
+    assert s["pillar_coords"].shape == (cap["max_pillars"], 3)
+    assert s["inst_motion_gt"].shape == (cap["max_instances"], 5, 4, 4)
+    assert s["point_valid"].sum() > 1000
+    # all valid points lie inside the crop
+    v = s["point_valid"]
+    assert np.abs(s["points"][v][:, :2]).max() < 32.0
+    # ground removed
+    assert s["points"][v][:, 2].min() > cfg["data"]["ground_height"] + cfg["data"]["ground_slack"]
+    # anchor frame pose is identity
+    np.testing.assert_allclose(s["ego_motion_gt"][0], np.eye(4), atol=1e-6)
+
+
+def test_augmentation_preserves_gt_consistency():
+    """Pose conjugation must keep reconstruction consistent after augmentation
+    (dataset.py:118-138)."""
+    cfg = small_cfg()
+    data = generate_sample(seed=3, n_frames=5)
+    s = prep_sample(data, cfg, augment=True, rng=np.random.default_rng(0))
+    v = s["point_valid"]
+    pts = jnp.asarray(s["points"][v])
+    tid = jnp.asarray(s["time_idx"][v])
+    inst = jnp.asarray(s["inst_labels"][v])
+    comp = se3.ego_motion_compensation(pts, tid, jnp.asarray(s["ego_motion_gt"]))
+    rec = np.asarray(
+        se3.reconstruct_sequence(comp, tid, inst, jnp.asarray(s["inst_motion_gt"]))
+    )
+    tid_np, inst_np = np.asarray(tid), np.asarray(inst)
+    for k in range(1, int(inst_np.max()) + 1):
+        sel0 = (inst_np == k) & (tid_np == 0)
+        if sel0.sum() == 0:
+            continue
+        centre0 = rec[sel0].mean(0)
+        for t in range(1, 5):
+            selt = (inst_np == k) & (tid_np == t)
+            if selt.sum():
+                assert np.linalg.norm(rec[selt].mean(0) - centre0) < 0.08
+
+
+def test_dataset_and_loader(tmp_path):
+    cfg = small_cfg(tmp_path)
+    write_synthetic_dataset(str(tmp_path), n_samples=6, n_frames=5)
+    ds = SceneDataset(cfg, "train")
+    assert len(ds) == 3
+    loader = make_loader(ds, batch_size=2, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["points"].shape == (2, cfg["capacity"]["max_points"], 3)
+    assert b["pillar_valid"].shape == (2, cfg["capacity"]["max_pillars"])
