@@ -1,0 +1,98 @@
+"""Benchmark: 4-frame LiDAR sequences / second / chip.
+
+Runs the full flagship MotionNet val-mode forward (pillar encode -> UNet ->
+FB seg -> ego motion -> warp -> STPN -> TPointNet reconstruction) on real
+hardware with production-scale shapes (BASELINE.json primary metric:
+"4-frame LiDAR sequences/sec/chip"), and prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+We use a documented assumption of 10 sequences/sec for the reference
+pipeline on its RTX 3090 (T=4, batch 1, val mode) — deliberately generous
+to the reference; the north star is >= 5x that (>= 50 seq/s/chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcaccumulation_tpu.config import load_config, derive
+from pcaccumulation_tpu.data.dataset import prep_sample
+from pcaccumulation_tpu.data.loader import collate
+from pcaccumulation_tpu.data.synthetic import generate_sample
+from pcaccumulation_tpu.models import MotionNet
+
+REF_BASELINE_SEQ_PER_SEC = 10.0  # documented assumption, see module docstring
+
+
+def bench_cfg(batch_size: int = 1):
+    cfg = load_config()
+    cfg["voxel_generator"].update(
+        {"range": [-36, -36, -2, 36, 36, 6], "voxel_size": [0.25, 0.25, 8],
+         "n_sweeps": 4, "crop_range": [32, -2, 6]}
+    )
+    cfg["data"].update({"n_frames": 4, "freq": 10.0, "max_speed": 30,
+                        "ground_height": 0.04})
+    cfg["capacity"] = {"max_points": 60000, "max_pillars": 25000,
+                       "max_instances": 32}
+    cfg["tpointnet"]["n_iterations"] = 2
+    cfg["cluster"]["max_cluster_points"] = 8192
+    return derive(cfg)
+
+
+def make_batch(cfg, batch_size):
+    samples = []
+    for i in range(batch_size):
+        data = generate_sample(
+            seed=i, n_frames=4, freq=10.0, n_static_clusters=40,
+            n_dynamic=6, pts_per_cluster=900, pts_per_object=500, area=30.0,
+            ground_height=0.04,
+        )
+        samples.append(prep_sample(data, cfg, augment=False))
+    return collate(samples)
+
+
+def main():
+    batch_size = 1
+    cfg = bench_cfg(batch_size)
+    batch = make_batch(cfg, batch_size)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+
+    model = MotionNet(cfg)
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+    )
+
+    @jax.jit
+    def forward(variables, batch, rng):
+        return model.apply(
+            variables, batch, train=False, mode="val", rngs={"sample": rng}
+        )["rec_est"]
+
+    # warmup / compile
+    forward(variables, jbatch, jax.random.key(0)).block_until_ready()
+    forward(variables, jbatch, jax.random.key(1)).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = forward(variables, jbatch, jax.random.key(i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    seq_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "4-frame LiDAR sequences/sec/chip",
+        "value": round(seq_per_sec, 3),
+        "unit": "seq/s",
+        "vs_baseline": round(seq_per_sec / REF_BASELINE_SEQ_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""CLI entry point — mirrors the reference's main.py:17-85.
+
+    python main.py <config.yaml> <batch_size> <iter_size> [--a.b.c=value ...]
+
+Modes (--misc.mode=train|val|test):
+  train — full training loop with per-epoch validation + rolling checkpoints
+  val   — one validation epoch, printing the reference-format metric line
+  test  — per-scene scene-flow dumps + MOS / cluster evaluation
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pcaccumulation_tpu.config import load_config, save_config
+from pcaccumulation_tpu.data.dataset import SceneDataset
+from pcaccumulation_tpu.data.loader import make_loader
+from pcaccumulation_tpu.models import MotionNet
+from pcaccumulation_tpu.utils.logging import setup_seed
+
+
+def build_loaders(cfg):
+    loaders = {}
+    for split, bs_key in (("train", "train"), ("val", "val"), ("test", "test")):
+        try:
+            ds = SceneDataset(cfg, split)
+        except FileNotFoundError:
+            continue
+        loaders[split] = make_loader(
+            ds,
+            batch_size=cfg[bs_key]["batch_size"],
+            shuffle=(split == "train"),
+            num_workers=cfg[bs_key]["num_workers"],
+            drop_last=(split != "test"),
+            seed=cfg["misc"]["seed"],
+        )
+    return loaders
+
+
+def main(argv):
+    if len(argv) < 4:
+        print(__doc__)
+        return 1
+    config_path, batch_size, iter_size = argv[1], int(argv[2]), int(argv[3])
+    cfg = load_config(config_path, overrides=argv[4:])
+    cfg["train"]["batch_size"] = batch_size
+    cfg["train"]["iter_size"] = iter_size
+    setup_seed(cfg["misc"]["seed"])
+
+    save_dir = os.path.join("snapshot", cfg["misc"]["exp_name"])
+    os.makedirs(save_dir, exist_ok=True)
+    save_config(cfg, os.path.join(save_dir, "config.json"))
+
+    model = MotionNet(cfg)
+    loaders = build_loaders(cfg)
+
+    mode = cfg["misc"]["mode"]
+    if mode in ("train", "val"):
+        from pcaccumulation_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg, model, loaders, save_dir=save_dir)
+        if mode == "train":
+            trainer.train()
+        else:
+            trainer.eval()
+    elif mode == "test":
+        from pcaccumulation_tpu.train.tester import Tester
+
+        Tester(cfg, model, save_dir=save_dir).test()
+    else:
+        raise NotImplementedError(mode)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -74,8 +74,9 @@ def generate_sample(
 
     # dynamic rigid objects: constant velocity in world frame
     obj_pts, obj_world0, obj_vel, obj_speed = [], [], [], []
+    spawn = area * 0.6
     for _ in range(n_dynamic):
-        centre = np.array([rng.uniform(-20, 20), rng.uniform(-20, 20), 0.2])
+        centre = np.array([rng.uniform(-spawn, spawn), rng.uniform(-spawn, spawn), 0.2])
         speed = rng.uniform(0.0, 8.0)  # some objects are parked (speed < 0.5)
         heading = rng.uniform(0, 2 * np.pi)
         vel = speed * np.array([np.cos(heading), np.sin(heading), 0.0])
@@ -152,7 +153,8 @@ def generate_sample(
 
 
 def write_synthetic_dataset(base_dir: str, n_samples: int, n_frames: int = 5,
-                            freq: float = 10.0, seed: int = 0) -> list[str]:
+                            freq: float = 10.0, seed: int = 0,
+                            **gen_kwargs) -> list[str]:
     """Write npz samples + train/val/test info files mirroring the reference
     dataset layout (scene-grouped relative paths)."""
     os.makedirs(base_dir, exist_ok=True)
@@ -161,7 +163,7 @@ def write_synthetic_dataset(base_dir: str, n_samples: int, n_frames: int = 5,
         scene = f"scene_{i % max(1, n_samples // 2):04d}"
         os.makedirs(os.path.join(base_dir, scene), exist_ok=True)
         rel = os.path.join(scene, f"sample_{i:05d}.npz")
-        sample = generate_sample(seed + i, n_frames=n_frames, freq=freq)
+        sample = generate_sample(seed + i, n_frames=n_frames, freq=freq, **gen_kwargs)
         np.savez_compressed(os.path.join(base_dir, rel), **sample)
         paths.append(rel)
     for split, sel in (

@@ -16,7 +16,11 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_USE_NATIVE = os.environ.get("PCACC_NATIVE", "1") != "0"
 
 
 def voxelize(
@@ -43,6 +47,15 @@ def voxelize(
       pillar_of_point: [n] int32 in [0, M]; M == invalid/overflow.
       in_range: [n] bool, whether the point fell inside the grid.
     """
+    if _USE_NATIVE:
+        from pcaccumulation_tpu.native.host import native_voxelize
+
+        out = native_voxelize(
+            points, time_idx, voxel_size, pc_range, n_sweeps, max_pillars
+        )
+        if out is not None:
+            return out
+
     pc_range = np.asarray(pc_range, np.float32)
     voxel_size = np.asarray(voxel_size, np.float32)
     grid = np.round((pc_range[3:] - pc_range[:3]) / voxel_size).astype(np.int64)
@@ -86,7 +99,17 @@ def pad_sample(sample: dict, max_points: int, max_instances: int) -> dict:
     static capacities. Overflowing points are dropped (mirrors the reference
     relying on max_voxels capacity, voxel_generator.py:53)."""
     n = sample["points"].shape[0]
-    keep = min(n, max_points)
+    if n > max_points:
+        # evenly-strided subsample keeps the per-frame balance (plain
+        # truncation would drop whole trailing frames)
+        sel = np.linspace(0, n - 1, max_points).astype(np.int64)
+        sample = {
+            k: (v[sel] if isinstance(v, np.ndarray) and v.ndim >= 1
+                and v.shape[0] == n else v)
+            for k, v in sample.items()
+        }
+        n = max_points
+    keep = n
     out = {}
 
     def pad_pts(x, fill=0):

@@ -1,0 +1,199 @@
+"""Ego-motion head: soft correspondences (Sinkhorn OT) + weighted Kabsch.
+
+Re-implements the reference's models/egomotion.py:30-469 TPU-first: the
+per-batch / per-frame-pair Python loops (egomotion.py:409-445) become a
+single `vmap` over [B, P] pairs of fixed-size (n_kpts) pillar samples, so
+the affinity matmuls, Sinkhorn iterations and batched 3x3 SVDs all run as
+one fused XLA computation.
+
+Sampling parity: the reference draws randperm keypoints and duplicates the
+last point when a frame has fewer than n_kpts background pillars
+(egomotion.py:155-167); here top-k of masked uniform scores draws without
+replacement and duplicates the first drawn pillar for the shortfall.
+
+All three sequence strategies are supported (chain | skip | full,
+egomotion.py:195-357); configs default to 'skip'.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcaccumulation_tpu.ops.kabsch import weighted_kabsch
+from pcaccumulation_tpu.ops.sinkhorn import log_sinkhorn, square_distance
+from pcaccumulation_tpu.ops import se3
+from pcaccumulation_tpu.ops.numeric import safe_norm
+
+_EPS = 1e-7
+_HI = jax.lax.Precision.HIGHEST
+
+
+def pair_lists(n_frames: int, strategy: str):
+    """Static (src, tgt) frame-index lists per strategy."""
+    if strategy == "skip":
+        pairs = [(t, 0) for t in range(1, n_frames)]
+        chained_src = list(range(len(pairs)))  # pair index giving pose t->0
+    elif strategy == "chain":
+        pairs = [(t, t - 1) for t in range(1, n_frames)]
+        chained_src = list(range(len(pairs)))
+    elif strategy == "full":
+        pairs = []
+        for gap in range(1, n_frames):
+            for a in range(n_frames - 1):
+                r = a + gap
+                if r < n_frames:
+                    pairs.append((r, a))
+        # pose t->0 comes from the pair (t, 0)
+        chained_src = [pairs.index((t, 0)) for t in range(1, n_frames)]
+    else:
+        raise ValueError(strategy)
+    return pairs, chained_src
+
+
+class EgoMotionHead(nn.Module):
+    n_kpts: int = 1024
+    sinkhorn_iter: int = 3
+    slack: bool = True
+    n_sweeps: int = 5
+    freq: float = 10.0
+    max_speed: float = 20.0
+    seq_pose: str = "skip"
+
+    @nn.compact
+    def __call__(
+        self,
+        pillar_feats,   # [B, M, C] L2-normalised ego features at pillars
+        pillar_mean,    # [B, M, 3]
+        pillar_t,       # [B, M] int frame index of each pillar
+        pillar_valid,   # [B, M] bool
+        pillar_bg,      # [B, M] bool — estimated background
+        points,         # [B, N, 3] raw per-frame points (for the loss)
+        time_idx,       # [B, N] int
+        point_valid,    # [B, N] bool
+        ego_motion_gt,  # [B, T, 4, 4]
+    ) -> dict:
+        # affinity parameters (egomotion.py:41-42)
+        alpha = self.param("alpha", nn.initializers.constant(-5.0), ())
+        beta = self.param("beta", nn.initializers.constant(-5.0), ())
+
+        b, m, c = pillar_feats.shape
+        t_frames = self.n_sweeps
+        n = self.n_kpts
+        pairs, chained_src = pair_lists(t_frames, self.seq_pose)
+        src_f = jnp.array([p[0] for p in pairs])
+        tgt_f = jnp.array([p[1] for p in pairs])
+        durations = jnp.abs(src_f - tgt_f).astype(jnp.float32) / self.freq  # [P]
+
+        # ---- sample n_kpts background pillars per (batch, frame) ----------
+        rng = self.make_rng("sample")
+        scores = jax.random.uniform(rng, (b, t_frames, m))
+        frame_mask = (
+            pillar_valid[:, None, :]
+            & pillar_bg[:, None, :]
+            & (pillar_t[:, None, :] == jnp.arange(t_frames)[None, :, None])
+        )  # [B, T, M]
+        scores = jnp.where(frame_mask, scores, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
+        have = jnp.isfinite(top_vals)
+        top_idx = jnp.where(have, top_idx, top_idx[..., :1])  # duplicate first
+
+        def take(arr, idx):  # arr [B, M, ...] idx [B, T, n]
+            flat = idx.reshape(b, t_frames * n)
+            out = jnp.take_along_axis(
+                arr, flat[..., None] if arr.ndim == 3 else flat, axis=1
+            )
+            return out.reshape((b, t_frames, n) + arr.shape[2:])
+
+        samp_feats = take(pillar_feats, top_idx)  # [B, T, n, C]
+        samp_coords = take(pillar_mean, top_idx)  # [B, T, n, 3]
+
+        # ---- pairwise OT + Kabsch over all pairs at once ------------------
+        fs = samp_feats[:, src_f]   # [B, P, n, C]
+        ft = samp_feats[:, tgt_f]
+        cs = samp_coords[:, src_f]  # [B, P, n, 3]
+        ct = samp_coords[:, tgt_f]
+
+        thr = (durations * self.max_speed) ** 2  # [P]
+        support = (
+            square_distance(cs, ct, normalised=False)
+            < thr[None, :, None, None]
+        ).astype(cs.dtype)
+
+        feat_dist = square_distance(fs, ft, normalised=True)  # [B, P, n, n]
+        affinity = -(feat_dist - jax.nn.softplus(alpha)) / (jnp.exp(beta) + 0.02)
+        log_perm = log_sinkhorn(affinity, n_iters=self.sinkhorn_iter, slack=self.slack)
+        perm = jnp.exp(log_perm) * support  # [B, P, n, n]
+
+        row_sum = jnp.sum(perm, axis=-1)  # [B, P, n]
+        weighted_t = jnp.einsum("bpnm,bpmc->bpnc", perm, ct, precision=_HI) / (
+            row_sum[..., None] + _EPS
+        )
+        rot, trans = weighted_kabsch(cs, weighted_t, row_sum)  # [B,P,3,3],[B,P,3]
+        pose_pairs = se3.make_transform(rot, trans)  # [B, P, 4, 4]
+
+        # ---- ground-truth relative poses for every pair -------------------
+        gt_src = ego_motion_gt[:, src_f]  # [B, P, 4, 4]
+        gt_tgt = ego_motion_gt[:, tgt_f]
+        pose_gt_pairs = se3.relative_pose(gt_src, gt_tgt)
+
+        # ---- per-pair point L1/L2 losses (egomotion.py:232-239) -----------
+        # applied to ALL raw points of the source frame
+        pc_est = se3.apply_transform(points[:, None], pose_pairs)  # [B,P,N,3]
+        pc_gt = se3.apply_transform(points[:, None], pose_gt_pairs)
+        diff = pc_est - pc_gt
+        in_frame = (
+            (time_idx[:, None, :] == src_f[None, :, None]) & point_valid[:, None, :]
+        ).astype(points.dtype)  # [B, P, N]
+        count = jnp.sum(in_frame, axis=-1) + _EPS
+        l1_pp = jnp.sum(jnp.sum(jnp.abs(diff), axis=-1) * in_frame, axis=-1) / count
+        l2_pp = jnp.sum(safe_norm(diff, axis=-1) * in_frame, axis=-1) / count
+        ego_l1_loss = jnp.mean(l1_pp)
+        ego_l2_loss = jnp.mean(l2_pp)
+
+        # ---- chain into frame->anchor poses -------------------------------
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=points.dtype), (b, 1, 4, 4))
+        if self.seq_pose in ("skip", "full"):
+            chained_est = jnp.concatenate(
+                [eye, pose_pairs[:, jnp.array(chained_src)]], axis=1
+            )
+        else:  # chain: left-compose consecutive estimates
+            poses = [jnp.eye(4, dtype=points.dtype)[None].repeat(b, 0)]
+            for p_idx in chained_src:
+                poses.append(se3.compose(poses[-1], pose_pairs[:, p_idx]))
+            chained_est = jnp.stack(poses, axis=1)
+
+        chained_gt = jnp.concatenate(
+            [eye, se3.relative_pose(ego_motion_gt[:, 1:], ego_motion_gt[:, :1])],
+            axis=1,
+        )  # [B, T, 4, 4]
+
+        # ---- rot / trans metrics (egomotion.py:454-458) -------------------
+        rot_err = se3.rotation_error_deg(
+            chained_est[..., :3, :3], chained_gt[..., :3, :3]
+        )
+        trans_err = se3.translation_error(
+            chained_est[..., :3, 3], chained_gt[..., :3, 3]
+        )
+        scale = t_frames / (t_frames - 1)
+        ego_rot_error = jnp.mean(rot_err) * scale
+        ego_trans_error = jnp.mean(trans_err) * scale
+
+        # perm matrices exposed to the outlier loss: pairs reaching the
+        # anchor only, matching the reference lists (skip/chain keep all,
+        # full keeps anchor pairs — egomotion.py:249,286,337)
+        if self.seq_pose == "full":
+            perm_out = perm[:, jnp.array(chained_src)]
+        else:
+            perm_out = perm
+
+        return {
+            "ego_motion_est": chained_est,
+            "ego_motion_gt": chained_gt,
+            "ego_l1_loss": ego_l1_loss,
+            "ego_l2_loss": ego_l2_loss,
+            "ego_rot_error": ego_rot_error,
+            "ego_trans_error": ego_trans_error,
+            "perm_matrix": perm_out,
+        }

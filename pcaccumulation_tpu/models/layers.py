@@ -1,0 +1,131 @@
+"""Shared flax building blocks.
+
+Channels-last (NHWC / NTHWC) throughout — the layout XLA:TPU tiles onto the
+MXU without transposes. Parity notes cite the reference modules each block
+re-implements.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    """Linear stack with ReLU between layers (optionally after the last)."""
+
+    features: Sequence[int]
+    final_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"fc{i}")(x)
+            if i + 1 < len(self.features) or self.final_act:
+                x = nn.relu(x)
+        return x
+
+
+class ResnetBlockFC(nn.Module):
+    """Fully-connected ResNet block (pillar_encoder.py:13-55): pre-activation
+    two-layer MLP with zero-initialised second layer and a bias-free linear
+    shortcut when the width changes."""
+
+    size_out: int
+    size_h: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        size_in = x.shape[-1]
+        size_h = self.size_h or min(size_in, self.size_out)
+        net = nn.Dense(size_h, name="fc_0")(nn.relu(x))
+        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros, name="fc_1")(
+            nn.relu(net)
+        )
+        if size_in == self.size_out:
+            shortcut = x
+        else:
+            shortcut = nn.Dense(self.size_out, use_bias=False, name="shortcut")(x)
+        return shortcut + dx
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over a flat [N, C] point set where only masked rows count.
+
+    The reference applies torch BatchNorm1d to dynamically-selected point
+    subsets (unet.py:235-256 SegHead1D, tpointnet.py:197-205 regressor);
+    with static shapes the selection becomes a mask on the statistics.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            if mask is None:
+                mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+                var = jnp.var(x, axis=tuple(range(x.ndim - 1)))
+            else:
+                m = mask.astype(x.dtype).reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / count
+                var = (
+                    jnp.sum((x - mean) ** 2 * m, axis=tuple(range(x.ndim - 1))) / count
+                )
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class SegHead1D(nn.Module):
+    """Linear -> masked BN -> ReLU -> Linear (unet.py:235-256)."""
+
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        mid = max(x.shape[-1], self.out_channel)
+        x = nn.Dense(mid, name="fc0")(x)
+        x = MaskedBatchNorm(name="bn")(x, mask=mask, train=train)
+        x = nn.relu(x)
+        return nn.Dense(self.out_channel, name="fc1")(x)
+
+
+class Conv3x3(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.xavier_normal(), name="conv",
+        )(x)
+
+
+class SegHead2D(nn.Module):
+    """Conv3x3 -> BN -> ReLU -> Conv3x3 over [..., H, W, C] maps
+    (unet.py:259-277)."""
+
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = max(x.shape[-1], self.out_channel)
+        x = nn.Conv(mid, (3, 3), padding=1, name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_channel, (3, 3), padding=1, name="conv1")(x)

@@ -1,0 +1,279 @@
+"""MotionNet: the end-to-end orchestrator.
+
+Re-implements the reference's models/motionnet.py:13-262 as one jittable
+flax module over static-shape padded batches: pillar stats, BEV encoding,
+UNet backbone, FB segmentation, ego-motion estimation, feature warping,
+motion segmentation + offset voting, and per-instance reconstruction.
+
+The reference's dynamic gates (`if fb_mask.sum() > MIN_POINTS`,
+motionnet.py:222,243) become `jnp.where` selections on default outputs, so
+the same graph covers every input.
+
+Test-time clustering (motionnet.py:238, DBSCAN on CPU in the reference) is
+*not* inside this module: the test pipeline runs the jax clustering op
+between the forward pass and the reconstruction decode, then feeds the
+estimated instance labels back in via `inst_labels_override`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcaccumulation_tpu.models.egomotion import EgoMotionHead
+from pcaccumulation_tpu.models.layers import SegHead2D
+from pcaccumulation_tpu.models.pillar_encoder import (
+    PillarFeatureNet,
+    gather_bev_at_pillars,
+    pillar_label_max,
+    pillar_means,
+    scatter_pillars_to_bev,
+)
+from pcaccumulation_tpu.models.stpn import STPN
+from pcaccumulation_tpu.models.tpointnet import AlignNet
+from pcaccumulation_tpu.models.unet import UNet
+from pcaccumulation_tpu.ops import se3
+from pcaccumulation_tpu.ops.bilinear import temporal_ungrid, ungrid, warp_bev
+
+MIN_POINTS = 15  # motionnet.py:11
+
+
+class MotionNet(nn.Module):
+    """cfg is the full (derived) config dict; treated as static."""
+
+    cfg: dict
+
+    def setup(self):
+        cfg = self.cfg
+        vg = cfg["voxel_generator"]
+        pe = cfg["pillar_encoder"]
+        self.grid_hw = (vg["grid_size"][1], vg["grid_size"][0])  # (H=ny, W=nx)
+        self.n_frames = vg["n_sweeps"]
+        self.pc_range = vg["range"]
+        self.voxel_size = vg["voxel_size"]
+        self.max_pillars = cfg["capacity"]["max_pillars"]
+
+        self.pillar_encoder = PillarFeatureNet(
+            num_filters=pe["num_filters"],
+            depth=pe["depth"],
+            voxel_size=tuple(vg["voxel_size"]),
+            pc_range=tuple(vg["range"]),
+            n_sweeps=vg["n_sweeps"],
+        )
+        self.unet = UNet(
+            in_channels=cfg["unet"]["in_channels"],
+            depth=cfg["unet"]["depth"],
+            start_filts=cfg["unet"]["start_filts"],
+        )
+        self.semseg_head = SegHead2D(2)
+        self.ego_feats_head = SegHead2D(cfg["pose_estimation"]["feats_dim"])
+        self.ego_motion_head = EgoMotionHead(
+            n_kpts=cfg["pose_estimation"]["n_kpts"],
+            sinkhorn_iter=cfg["pose_estimation"]["sinkhorn_iter"],
+            slack=cfg["pose_estimation"]["add_slack"],
+            n_sweeps=vg["n_sweeps"],
+            freq=cfg["data"]["freq"],
+            max_speed=cfg["data"]["max_speed"],
+            seq_pose=cfg["pose_estimation"]["seq_pose"],
+        )
+        self.motionhead = STPN(feat_dim=cfg["stpn"]["feat_dim"])
+        self.reconstructor = AlignNet(
+            n_frames=vg["n_sweeps"],
+            n_iterations=cfg["tpointnet"]["n_iterations"],
+            min_points_per_frame=cfg["tpointnet"]["min_points"],
+        )
+
+    def __call__(self, batch: dict, train: bool = False, mode: str = "train",
+                 inst_labels_override=None) -> dict:
+        points = batch["points"].astype(jnp.float32)       # [B, N, 3]
+        time_idx = batch["time_idx"]                       # [B, N]
+        point_valid = batch["point_valid"]                 # [B, N]
+        p2v = batch["pillar_of_point"]                     # [B, N]
+        pillar_coords = batch["pillar_coords"]             # [B, M, 3]
+        pillar_valid = batch["pillar_valid"]               # [B, M]
+        fb_labels = batch["fb_labels"]                     # [B, N]
+        ego_motion_gt = batch["ego_motion_gt"].astype(jnp.float32)
+
+        b, n, _ = points.shape
+        m = self.max_pillars
+        t = self.n_frames
+        h, w = self.grid_hw
+        results = {}
+
+        # ---- 1. pillar stats + GT canvases (motionnet.py:159-173) ---------
+        pillar_mean = pillar_means(points, point_valid, p2v, m)     # [B, M, 3]
+        fb_pillar_gt = pillar_label_max(fb_labels, point_valid, p2v, m)
+
+        occ = scatter_pillars_to_bev(
+            pillar_valid[..., None].astype(jnp.float32), pillar_coords,
+            pillar_valid, t, self.grid_hw,
+        )  # [B, T, H, W, 1]
+        fb_map_gt = scatter_pillars_to_bev(
+            fb_pillar_gt[..., None].astype(jnp.float32), pillar_coords,
+            pillar_valid, t, self.grid_hw,
+        )
+        results["occ_map"] = occ
+        results["fb_seg_gt"] = fb_map_gt
+
+        # ---- 2. pillar encoder -> BEV -> UNet (motionnet.py:177-184) ------
+        pillar_feats = self.pillar_encoder(
+            points, time_idx, point_valid, p2v, pillar_coords, pillar_mean, m
+        )  # [B, M, C]
+        bev = scatter_pillars_to_bev(
+            pillar_feats, pillar_coords, pillar_valid, t, self.grid_hw
+        )  # [B, T, H, W, C]
+        c = bev.shape[-1]
+        bev_feats = self.unet(bev.reshape(b * t, h, w, c))
+        bev_feats = bev_feats.reshape(b, t, h, w, -1)
+
+        # ---- 3. FB segmentation (motionnet.py:188-194) ---------------------
+        fb_seg = self.semseg_head(
+            bev_feats.reshape(b * t, h, w, -1), train=train
+        ).reshape(b, t, h, w, 2)
+        results["fb_seg_est"] = fb_seg
+        fb_est_map = jnp.argmax(fb_seg, axis=-1)  # [B, T, H, W]
+        fb_est_pillar = gather_bev_at_pillars(
+            fb_est_map[..., None].astype(jnp.float32), pillar_coords, pillar_valid
+        )[..., 0].astype(jnp.int32)  # [B, M]
+        p2v_c = jnp.clip(p2v, 0, m - 1)
+        fb_est_point = jnp.take_along_axis(fb_est_pillar, p2v_c, axis=1)
+        fb_est_point = jnp.where(point_valid, fb_est_point, 0)
+        results["fb_est_per_points"] = fb_est_point
+
+        # ---- 4. ego motion (motionnet.py:198-201) --------------------------
+        ego_feats = self.ego_feats_head(
+            bev_feats.reshape(b * t, h, w, -1), train=train
+        )
+        ego_feats = ego_feats / (
+            jnp.linalg.norm(ego_feats, axis=-1, keepdims=True) + 1e-12
+        )
+        ego_feats_pillar = gather_bev_at_pillars(
+            ego_feats.reshape(b, t, h, w, -1), pillar_coords, pillar_valid
+        )  # [B, M, C]
+        ego = self.ego_motion_head(
+            ego_feats_pillar,
+            pillar_mean,
+            pillar_coords[..., 0],
+            pillar_valid,
+            fb_est_pillar == 0,
+            points,
+            time_idx,
+            point_valid,
+            ego_motion_gt,
+        )
+        results.update(ego)
+
+        # ---- 5. warp + motion segmentation (motionnet.py:205-229) ----------
+        pose_est = jax.lax.stop_gradient(results["ego_motion_est"])
+        bev_detached = jax.lax.stop_gradient(bev_feats)
+
+        x_reso, y_reso = self.voxel_size[0], self.voxel_size[1]
+        x_min, y_min = self.pc_range[0], self.pc_range[1]
+
+        def warp_one(fm, pose):  # fm [H, W, C], pose [4, 4]
+            return jnp.moveaxis(
+                warp_bev(jnp.moveaxis(fm, -1, 0), pose, x_reso, y_reso, x_min, y_min),
+                0, -1,
+            )
+
+        warped_rest = jax.vmap(jax.vmap(warp_one))(
+            bev_detached[:, 1:], pose_est[:, 1:]
+        )
+        warped = jnp.concatenate([bev_detached[:, :1], warped_rest], axis=1)
+
+        transformed_points = se3.ego_motion_compensation(points, time_idx, pose_est)
+        results["transformed_points"] = transformed_points
+
+        if mode in ("train", "val"):
+            fb_mask = ((fb_labels == 1) | (fb_est_point == 1)) & point_valid
+        else:
+            fb_mask = (fb_est_point == 1) & point_valid
+
+        mos, offset, mos_map = self.motionhead(
+            warped, transformed_points, fb_mask, self.pc_range[0], train=train
+        )
+        gate = jnp.sum(fb_mask) > MIN_POINTS
+        default_mos = jnp.zeros_like(mos).at[..., 0].set(1.0)
+        use = (fb_mask & gate)[..., None]
+        results["mos_est"] = jnp.where(use, mos, default_mos)
+        results["offset_est"] = jnp.where(use, offset, 0.0)
+
+        # ---- 6. per-instance reconstruction (motionnet.py:233-260) ---------
+        if mode in ("train", "val"):
+            inst_labels = batch["inst_labels"]
+            rec_mask = (fb_labels == 1) & point_valid
+            inst_motion_gt = batch["inst_motion_gt"].astype(jnp.float32)
+        else:
+            if inst_labels_override is not None:
+                inst_labels = inst_labels_override
+            else:
+                # test-time clustering runs ON DEVICE (ops/cluster.py replaces
+                # the reference's host DBSCAN round-trip at motionnet.py:238)
+                from pcaccumulation_tpu.ops.cluster import cluster_moving_points
+
+                ccfg = self.cfg["cluster"]
+                mos_pred = jnp.argmax(results["mos_est"], axis=-1)
+                inst_labels = jax.vmap(
+                    lambda pts, off, mov, val: cluster_moving_points(
+                        pts, off, mov, val,
+                        eps=ccfg["eps_dbscan"],
+                        min_samples=ccfg["min_samples_dbscan"],
+                        min_cluster_size=ccfg["min_p_cluster"],
+                        pre_voxel=0.05,
+                        max_cluster_points=ccfg["max_cluster_points"],
+                        n_iters=ccfg["bfs_iters"],
+                    )
+                )(
+                    transformed_points, results["offset_est"],
+                    mos_pred == 1, point_valid,
+                )
+                # cap at the static instance budget; overflow -> background
+                k_cap = batch["inst_motion_gt"].shape[1]
+                inst_labels = jnp.where(inst_labels < k_cap, inst_labels, 0)
+            results["inst_labels_est"] = inst_labels
+            rec_mask = (inst_labels != 0) & point_valid
+            inst_motion_gt = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32),
+                batch["inst_motion_gt"].shape,
+            )
+
+        # the reference detaches bev_feats before both warping and the
+        # per-point backbone lookup (motionnet.py:206,244)
+        backbone_pp = jax.vmap(
+            lambda fm, pts, tid: temporal_ungrid(fm, pts[:, :2], tid, self.pc_range[0])
+        )(bev_detached, points, time_idx)  # [B, N, C]
+        mos_pp = jax.vmap(
+            lambda fm, pts: ungrid(jnp.moveaxis(fm, -1, 0), pts[:, :2], self.pc_range[0])
+        )(mos_map, transformed_points)  # [B, N, 64]
+
+        rec = self.reconstructor(
+            transformed_points,
+            time_idx,
+            inst_labels,
+            rec_mask,
+            batch["sd_labels"],
+            backbone_pp,
+            mos_pp,
+            inst_motion_gt,
+            results["ego_motion_gt"],
+            results["ego_motion_est"],
+            train=train,
+        )
+
+        rec_gate = jnp.sum(rec_mask) > MIN_POINTS
+        results["tpointnet_loss_terms"] = jax.tree.map(
+            lambda x: jnp.where(rec_gate, x, 0.0),
+            rec["tpointnet_loss_terms"],
+        )
+        results["inst_l2_error"] = jnp.where(rec_gate, rec["inst_l2_error"], 0.0)
+        results["dynamic_inst_l2_error"] = jnp.where(
+            rec_gate, rec["dynamic_inst_l2_error"], 0.0
+        )
+        results["inst_pose_est"] = rec["inst_pose_est"]
+        results["rec_est"] = jnp.where(
+            (rec_mask & rec_gate)[..., None], rec["sub_rec_est"], transformed_points
+        )
+        results["rec_mask"] = rec_mask
+        results["fb_mask"] = fb_mask
+        return results

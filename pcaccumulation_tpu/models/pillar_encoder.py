@@ -1,0 +1,169 @@
+"""Pillar feature encoder + BEV scatter, fully batched with masked segment ops.
+
+Re-implements the reference's models/pillar_encoder.py (PillarFeatureNet
+with ConvOccNet-style local max pooling between ResNet blocks, lines
+59-122, and the scatter/gather/ungrid helpers, lines 125-267). Per-batch
+Python loops are replaced by `vmap` and a single XLA scatter.
+
+Shapes: B batch, N max points, M max pillars, T frames, H=W BEV size.
+`pillar_of_point` follows the voxelizer convention: values in [0, M-1] for
+valid points, M for invalid (the overflow segment).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcaccumulation_tpu.models.layers import ResnetBlockFC
+from pcaccumulation_tpu.ops.segment import (
+    masked_segment_max,
+    masked_segment_mean,
+)
+
+
+def pillar_flat_index(pillar_coords, grid_hw):
+    """[..., M, 3] (t, y, x) -> flat t*H*W + y*W + x."""
+    h, w = grid_hw
+    return (
+        pillar_coords[..., 0] * (h * w)
+        + pillar_coords[..., 1] * w
+        + pillar_coords[..., 2]
+    ).astype(jnp.int32)
+
+
+def scatter_pillars_to_bev(pillar_feats, pillar_coords, pillar_valid, n_frames, grid_hw):
+    """[B, M, C] -> dense canvas [B, T, H, W, C] via one scatter per sample.
+
+    Replaces scatter_point_pillar (pillar_encoder.py:125-174).
+    """
+    h, w = grid_hw
+    flat = pillar_flat_index(pillar_coords, grid_hw)  # [B, M]
+    size = n_frames * h * w
+
+    def one(feats, idx, valid):
+        idx = jnp.where(valid, idx, size)
+        canvas = jnp.zeros((size + 1, feats.shape[-1]), feats.dtype)
+        canvas = canvas.at[idx].set(feats)
+        return canvas[:size].reshape(n_frames, h, w, feats.shape[-1])
+
+    return jax.vmap(one)(pillar_feats, flat, pillar_valid)
+
+
+def gather_bev_at_pillars(canvas, pillar_coords, pillar_valid):
+    """[B, T, H, W, C] -> [B, M, C] at each pillar's cell.
+
+    Replaces inverse_scatter_point_pillar (pillar_encoder.py:177-204).
+    """
+    b, t, h, w, c = canvas.shape
+    flat_canvas = canvas.reshape(b, t * h * w, c)
+    idx = jnp.clip(pillar_flat_index(pillar_coords, (h, w)), 0, t * h * w - 1)
+    out = jnp.take_along_axis(flat_canvas, idx[..., None], axis=1)
+    return out * pillar_valid[..., None].astype(out.dtype)
+
+
+class PillarFeatureNet(nn.Module):
+    """Per-point MLP with inter-block pillar max pooling, final pillar max.
+
+    Matches PillarFeatureNet.forward (pillar_encoder.py:97-122): 9-dim input
+    [xyz, dist-to-pillar-mean, dxy-to-pillar-centre, t], spatial dims
+    normalised by |pc_range[0]|, t by n_sweeps.
+    """
+
+    num_filters: int = 32
+    depth: int = 3
+    voxel_size: tuple = (0.25, 0.25, 8.0)
+    pc_range: tuple = (-36.0, -36.0, -5.0, 36.0, 36.0, 3.0)
+    n_sweeps: int = 5
+
+    @nn.compact
+    def __call__(self, points, time_idx, point_valid, pillar_of_point,
+                 pillar_coords, pillar_mean, max_pillars: int):
+        """
+        Args:
+          points:       [B, N, 3]
+          time_idx:     [B, N] int
+          point_valid:  [B, N] bool
+          pillar_of_point: [B, N] int in [0, M]
+          pillar_coords:   [B, M, 3] (t, y, x)
+          pillar_mean:     [B, M, 3] per-pillar mean xyz
+        Returns:
+          pillar features [B, M, num_filters]
+        """
+        b, n, _ = points.shape
+        m = max_pillars
+        scale = abs(self.pc_range[0])
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        x_offset = vx / 2 + self.pc_range[0]
+        y_offset = vy / 2 + self.pc_range[1]
+
+        # gather per-point pillar attributes (clip the overflow index)
+        p_idx = jnp.clip(pillar_of_point, 0, m - 1)
+        mean_pp = jnp.take_along_axis(pillar_mean, p_idx[..., None], axis=1)
+        coords_pp = jnp.take_along_axis(pillar_coords, p_idx[..., None], axis=1)
+
+        dist_to_mean = points - mean_pp
+        f_center_x = points[..., 0] - (coords_pp[..., 2].astype(points.dtype) * vx + x_offset)
+        f_center_y = points[..., 1] - (coords_pp[..., 1].astype(points.dtype) * vy + y_offset)
+
+        feats = jnp.concatenate(
+            [
+                points / scale,
+                dist_to_mean / scale,
+                f_center_x[..., None] / scale,
+                f_center_y[..., None] / scale,
+                time_idx[..., None].astype(points.dtype) / self.n_sweeps,
+            ],
+            axis=-1,
+        )  # [B, N, 9]
+
+        # flatten batch for segment ops: segment id = b * (M + 1) + pillar
+        seg_ids = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * (m + 1) + pillar_of_point
+        ).reshape(-1)
+        valid_flat = point_valid.reshape(-1)
+        num_segments = b * (m + 1)
+
+        def pool(x_flat):
+            pooled = masked_segment_max(x_flat, seg_ids, valid_flat, num_segments)
+            return pooled[seg_ids]  # gather back per point
+
+        net = nn.Dense(2 * self.num_filters, name="fc_pos")(feats).reshape(b * n, -1)
+        net = ResnetBlockFC(self.num_filters, name="block0")(net)
+        for i in range(1, self.depth):
+            net = jnp.concatenate([net, pool(net)], axis=-1)
+            net = ResnetBlockFC(self.num_filters, name=f"block{i}")(net)
+        net = nn.Dense(self.num_filters, name="fc_c")(net)
+
+        pooled = masked_segment_max(net, seg_ids, valid_flat, num_segments)
+        pooled = pooled.reshape(b, m + 1, self.num_filters)[:, :m]
+        return pooled
+
+
+def pillar_means(points, point_valid, pillar_of_point, max_pillars):
+    """Masked per-pillar mean of point xyz: [B, N, 3] -> [B, M, 3]
+    (replaces torch_scatter mean at motionnet.py:159)."""
+    b, n, _ = points.shape
+    seg_ids = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * (max_pillars + 1) + pillar_of_point
+    ).reshape(-1)
+    out = masked_segment_mean(
+        points.reshape(b * n, 3), seg_ids, point_valid.reshape(-1),
+        b * (max_pillars + 1),
+    )
+    return out.reshape(b, max_pillars + 1, 3)[:, :max_pillars]
+
+
+def pillar_label_max(labels, point_valid, pillar_of_point, max_pillars):
+    """Masked per-pillar max of integer labels: [B, N] -> [B, M]
+    (replaces torch_scatter max at motionnet.py:160)."""
+    b, n = labels.shape
+    seg_ids = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * (max_pillars + 1) + pillar_of_point
+    ).reshape(-1)
+    out = masked_segment_max(
+        labels.reshape(b * n).astype(jnp.float32), seg_ids, point_valid.reshape(-1),
+        b * (max_pillars + 1),
+    )
+    return out.reshape(b, max_pillars + 1)[:, :max_pillars].astype(labels.dtype)

@@ -85,6 +85,50 @@ def ungrid(
     return bilinear_sample(feats, u, v, padding_mode=padding_mode)
 
 
+def temporal_ungrid(
+    feats: jnp.ndarray,
+    points_xy: jnp.ndarray,
+    time_idx: jnp.ndarray,
+    pc_range_min: float,
+) -> jnp.ndarray:
+    """Per-point bilinear lookup from the feature map of the point's frame.
+
+    feats [T, H, W, C]; points_xy [N, 2]; time_idx [N] int.
+    Mirrors pillar_encoder.py:206-228 (border padding) without the per-frame
+    Python loop: the four corner gathers index a flat [T*H*W, C] canvas.
+    """
+    t, h, w, c = feats.shape
+    flat = feats.reshape(t * h * w, c)
+    scale = abs(pc_range_min)
+    u = points_xy[:, 0] / scale
+    v = points_xy[:, 1] / scale
+    x = (u + 1.0) * (w * 0.5) - 0.5
+    y = (v + 1.0) * (h * 0.5) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = time_idx.astype(jnp.int32) * (h * w)
+
+    def corner(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return flat[base + yc * w + xc]  # [N, C]
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+    return (
+        v00 * ((1 - ty) * (1 - tx))[:, None]
+        + v01 * ((1 - ty) * tx)[:, None]
+        + v10 * (ty * (1 - tx))[:, None]
+        + v11 * (ty * tx)[:, None]
+    )
+
+
 def warp_bev(
     feats: jnp.ndarray,
     pose: jnp.ndarray,

@@ -1,0 +1,151 @@
+"""Static-shape density clustering — the TPU-native DBSCAN substitute.
+
+Replaces the reference's host-side sklearn DBSCAN + torchsparse voxel
+downsample (models/cluster.py:9-111, eps=0.4, min_samples=5, pre-voxel
+0.05 m, z flattened, clusters < min_p_cluster dropped, labels
+canonicalised by first appearance). Everything here is fixed-capacity and
+jit-compiles:
+
+  * voxel downsample = sort + first-occurrence flags + prefix sum;
+  * DBSCAN connectivity = core-point label propagation over the ≤eps
+    adjacency with pointer-jumping (path halving), which converges in
+    O(log N) rounds instead of the worst-case graph diameter;
+  * border points adopt the smallest core-neighbour label, noise stays 0.
+
+sklearn semantics preserved: min_samples counts the point itself; border
+points join a cluster of *some* core neighbour (we pick the canonical
+minimum — sklearn picks discovery order, so individual border points can
+differ on ties; cluster membership of core points is identical).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+def voxel_downsample(points, valid, voxel_size: float, max_out: int):
+    """First-occurrence voxel dedup with static output capacity.
+
+    Returns (rep_idx [max_out] int32 indices into points,
+             rep_valid [max_out] bool,
+             inverse [N] int32 in [0, max_out) mapping each point to its
+             representative slot; invalid points map to 0).
+    """
+    n = points.shape[0]
+    q = jnp.round(points / voxel_size).astype(jnp.int32)
+    # lexicographic sort on (valid-first, x, y, z) — avoids int64 keys,
+    # which are unavailable without jax_enable_x64
+    invalid = (~valid).astype(jnp.int32)
+    order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0], invalid))
+    qs = q[order]
+    vs = valid[order]  # valid entries are contiguous at the front
+    differs = jnp.any(qs[1:] != qs[:-1], axis=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), differs]) & vs
+    voxel_id_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N]
+    n_unique = jnp.sum(first)
+
+    inverse = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.clip(voxel_id_sorted, 0, max_out - 1)
+    )
+    # scatter the first point of each voxel into its slot; voxels beyond
+    # capacity collapse onto the last slot (rare overflow, mirrors the
+    # reference's max_voxels drop)
+    rep_idx = jnp.zeros(max_out, jnp.int32).at[
+        jnp.where(first, jnp.clip(voxel_id_sorted, 0, max_out - 1), max_out - 1)
+    ].set(order.astype(jnp.int32))
+    rep_valid = jnp.arange(max_out) < jnp.minimum(n_unique, max_out)
+    return rep_idx, rep_valid, inverse
+
+
+def dbscan_labels(
+    points,
+    valid,
+    eps: float,
+    min_samples: int,
+    n_iters: int = 16,
+):
+    """DBSCAN cluster ids over [N, 3] points; 0-based representative index
+    labels, -1 for noise. N is static; pairwise O(N^2) memory."""
+    n = points.shape[0]
+    d2 = jnp.sum((points[:, None] - points[None]) ** 2, axis=-1)
+    adj = (d2 <= eps * eps) & valid[:, None] & valid[None, :]
+    core = (jnp.sum(adj, axis=1) >= min_samples) & valid
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels = jnp.where(core, idx, _BIG)
+
+    def body(_, labels):
+        # min label over core neighbours (core-core propagation)
+        lab_core = jnp.where(core, labels, _BIG)
+        neigh_min = jnp.min(
+            jnp.where(adj & core[None, :], lab_core[None, :], _BIG), axis=1
+        )
+        labels = jnp.where(core, jnp.minimum(labels, neigh_min), labels)
+        # pointer jumping: follow the representative's representative
+        jumped = labels[jnp.clip(labels, 0, n - 1)]
+        labels = jnp.where(core & (labels < _BIG), jnp.minimum(labels, jumped), labels)
+        return labels
+
+    labels = jax.lax.fori_loop(0, n_iters, body, labels)
+
+    # border points: smallest core-neighbour label
+    lab_core = jnp.where(core, labels, _BIG)
+    border_min = jnp.min(
+        jnp.where(adj & core[None, :], lab_core[None, :], _BIG), axis=1
+    )
+    labels = jnp.where(core, labels, border_min)
+    return jnp.where(valid & (labels < _BIG), labels, -1)
+
+
+def filter_and_canonicalise(labels, valid, min_cluster_size: int):
+    """Drop clusters smaller than min_cluster_size, then renumber clusters
+    1..C by first appearance; noise/background -> 0
+    (models/cluster.py:36-49 + toolbox/utils.py:237)."""
+    n = labels.shape[0]
+    lab = jnp.where(labels < 0, n, labels)  # noise -> overflow bucket
+    sizes = jax.ops.segment_sum(
+        valid.astype(jnp.int32), lab, num_segments=n + 1
+    )
+    keep = sizes[jnp.clip(lab, 0, n)] >= min_cluster_size
+    lab = jnp.where((lab < n) & keep, lab, n)
+
+    # first-occurrence rank of each surviving representative label
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first_occ = jax.ops.segment_min(idx, lab, num_segments=n + 1)[:n]
+    used = jax.ops.segment_sum(jnp.ones_like(idx), lab, num_segments=n + 1)[:n] > 0
+    occ_key = jnp.where(used, first_occ, _BIG)
+    order = jnp.argsort(occ_key)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(idx)
+    new_id = rank + 1  # 1-based cluster ids in first-appearance order
+    return jnp.where(lab < n, new_id[jnp.clip(lab, 0, n - 1)], 0)
+
+
+def cluster_moving_points(
+    transformed_points,  # [N, 3] anchor-frame points
+    offset,              # [N, 2] predicted instance-centre offsets
+    moving,              # [N] bool — points to cluster (mos == 1)
+    valid,               # [N] bool
+    eps: float = 0.4,
+    min_samples: int = 5,
+    min_cluster_size: int = 15,
+    pre_voxel: float = 0.05,
+    max_cluster_points: int = 8192,
+    n_iters: int = 16,
+):
+    """Full test-time clustering path (models/cluster.py:52-84): shift by
+    offset, voxel-downsample, flatten z, DBSCAN, size filter, canonicalise,
+    broadcast back. Returns [N] int32 instance labels (0 = background)."""
+    pts = transformed_points.at[:, :2].add(offset)
+    sel = moving & valid
+
+    rep_idx, rep_valid, inverse = voxel_downsample(pts, sel, pre_voxel, max_cluster_points)
+    rep_pts = pts[rep_idx].at[:, 2].set(0.0)  # z flattened after downsample
+
+    labels_rep = dbscan_labels(rep_pts, rep_valid, eps, min_samples, n_iters)
+    labels_rep = filter_and_canonicalise(labels_rep, rep_valid, min_cluster_size)
+
+    per_point = labels_rep[inverse]
+    return jnp.where(sel, per_point, 0).astype(jnp.int32)

@@ -157,7 +157,7 @@ def matrix_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
     key = jnp.stack([m00, m11, m22, tr], axis=-1)
     best = jnp.argmax(key, axis=-1)
     q = jnp.take_along_axis(cand, best[..., None, None], axis=-2)[..., 0, :]
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    q = q / (jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-12)) + _EPS)
     # canonical sign: w >= 0 (scipy does not enforce this, but losses compare
     # quaternion differences so a consistent convention is required)
     q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)

@@ -1,0 +1,6 @@
+from pcaccumulation_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+)

@@ -1,0 +1,261 @@
+"""Training / evaluation runtime.
+
+Re-implements the reference's libs/trainer.py:9-278 TPU-first: one jitted
+`train_step` (forward + loss + grad + optax update) replaces the Python
+backward/step/clip sequence. Matching semantics:
+
+* gradient accumulation over `iter_size` micro-batches (optax.MultiSteps,
+  = trainer.py:221 + loss/iter_size at trainer.py:180),
+* global-norm clipping at `grad_clip` (trainer.py:228),
+* NaN/Inf gradient steps are skipped (optax.apply_if_finite, replacing
+  validate_gradient at toolbox/utils.py:147-157),
+* exponential per-epoch LR decay (toolbox/config.py:29-47),
+* rolling best-loss / best-metric / latest checkpoints (trainer.py:262-270).
+
+Optionally shards the batch over a data-parallel `jax.sharding.Mesh`
+(see pcaccumulation_tpu/parallel/mesh.py) — XLA inserts the psum for the
+gradient reduction automatically from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pcaccumulation_tpu.train.loss import fuse_loss
+from pcaccumulation_tpu.train.metrics import (
+    Timer,
+    compute_mean_iou_recall_precision,
+    init_stats_meter,
+    update_stats_meter,
+)
+from pcaccumulation_tpu.utils.checkpoint import (
+    load_checkpoint,
+    partial_load,
+    save_checkpoint,
+)
+from pcaccumulation_tpu.utils.logging import Logger
+
+MOS_CLASSES = ["static", "moving"]
+FB_CLASSES = ["background", "foreground"]
+
+
+def make_optimizer(cfg: dict):
+    opt_cfg = cfg["optimizer"]
+    lr0 = opt_cfg["learning_rate"]
+    gamma = cfg["scheduler"]["exp_gamma"]
+
+    def schedule(epoch):
+        return lr0 * gamma ** epoch
+
+    def build(lr):
+        core = optax.chain(
+            optax.clip_by_global_norm(cfg["train"]["grad_clip"]),
+            optax.adamw(lr, weight_decay=opt_cfg.get("weight_decay", 0.0))
+            if opt_cfg.get("weight_decay", 0.0) > 0
+            else optax.adam(lr),
+        )
+        return optax.apply_if_finite(core, max_consecutive_errors=1000)
+
+    return build, schedule
+
+
+class Trainer:
+    def __init__(self, cfg, model, loaders, save_dir=None, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.loaders = loaders
+        self.save_dir = save_dir or os.path.join("snapshot", cfg["misc"]["exp_name"])
+        self.logger = Logger(self.save_dir)
+        self.mesh = mesh
+
+        self.iter_size = cfg["train"]["iter_size"]
+        self.max_epoch = cfg["train"]["max_epoch"]
+        self.metric_key = cfg["train"]["metric"]
+        self.best_loss = 1e5
+        self.best_metric = -1e5
+        self.start_epoch = 1
+        self.timer = Timer()
+
+        self._build_state()
+        self._build_steps()
+
+        pretrain = cfg["misc"].get("pretrain", "")
+        if pretrain:
+            self.load_pretrain(pretrain)
+
+    # ------------------------------------------------------------------ state
+    def _build_state(self):
+        example = next(iter(self.loaders["train"] if "train" in self.loaders
+                            else self.loaders["val"]))
+        jbatch = jax.tree.map(jnp.asarray, example)
+        init_fn = jax.jit(
+            lambda rngs, b: self.model.init(rngs, b, train=False, mode="val")
+        )
+        variables = init_fn(
+            {"params": jax.random.key(self.cfg["misc"]["seed"]),
+             "sample": jax.random.key(0)},
+            jbatch,
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        build, self.lr_schedule = make_optimizer(self.cfg)
+        self._opt_build = build
+        self.optimizer = optax.MultiSteps(
+            build(self.lr_schedule(0)), every_k_schedule=self.iter_size
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(self.params))
+        self.logger.write(f"#parameters {n_params / 1e6} M\n")
+
+    def _set_epoch_lr(self, epoch: int):
+        """Rebuild the optimizer with the epoch LR, keeping inner state."""
+        self.optimizer = optax.MultiSteps(
+            self._opt_build(self.lr_schedule(epoch - 1)),
+            every_k_schedule=self.iter_size,
+        )
+
+    # ------------------------------------------------------------------ steps
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+        max_inst = cfg["capacity"]["max_instances"]
+        loss_w = cfg["loss"]
+
+        def loss_fn(params, batch_stats, batch, rng, train):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                results, mutated = model.apply(
+                    variables, batch, train=True, mode="train",
+                    rngs={"sample": rng}, mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                results = model.apply(
+                    variables, batch, train=False, mode="val",
+                    rngs={"sample": rng},
+                )
+                new_stats = batch_stats
+            stats = fuse_loss(results, batch, loss_w, max_inst)
+            return stats["loss"], (stats, new_stats)
+
+        def train_step(params, batch_stats, opt_state, batch, rng):
+            (loss, (stats, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch, rng, True)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, stats
+
+        def val_step(params, batch_stats, batch, rng):
+            _, (stats, _) = loss_fn(params, batch_stats, batch, rng, False)
+            return stats
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._val_step = jax.jit(val_step)
+
+    # ------------------------------------------------------------------ epochs
+    def _detach_stats(self, stats):
+        return jax.tree.map(lambda x: np.asarray(x), stats)
+
+    def inference_one_epoch(self, epoch: int, phase: str):
+        assert phase in ("train", "val")
+        loader = self.loaders[phase]
+        meters = None
+        base_rng = jax.random.key(epoch * 10007 + (0 if phase == "train" else 1))
+        for it, batch in enumerate(loader):
+            jbatch = jax.tree.map(jnp.asarray, batch)
+            if self.mesh is not None:
+                from pcaccumulation_tpu.parallel.mesh import shard_batch
+
+                jbatch = shard_batch(jbatch, self.mesh)
+            rng = jax.random.fold_in(base_rng, it)
+            if phase == "train":
+                self.params, self.batch_stats, self.opt_state, stats = (
+                    self._train_step(
+                        self.params, self.batch_stats, self.opt_state, jbatch, rng
+                    )
+                )
+            else:
+                stats = self._val_step(self.params, self.batch_stats, jbatch, rng)
+            stats = self._detach_stats(stats)
+            if meters is None:
+                meters = init_stats_meter(stats)
+            update_stats_meter(meters, stats)
+        self.log_epoch(meters, epoch, phase)
+        return meters
+
+    def log_epoch(self, meters, epoch, phase):
+        message = f"{phase} Epoch: {epoch}\t"
+        mos_stats, mos_msg = compute_mean_iou_recall_precision(
+            meters["mos_metric"], MOS_CLASSES
+        )
+        for k, v in mos_stats.items():
+            message += f"mos_{k}: {v:.3f}\t"
+        fb_stats, fb_msg = compute_mean_iou_recall_precision(
+            meters["fb_metric"], FB_CLASSES
+        )
+        for k, v in fb_stats.items():
+            message += f"fb_{k}: {v:.3f}\t"
+        for k, v in meters.items():
+            if not isinstance(v, dict):
+                message += f"{k}: {v.avg:.3f}\t"
+        self.logger.write(message + "\n")
+        self.logger.write(mos_msg)
+        self.logger.write(fb_msg + "\n")
+
+    # ------------------------------------------------------------------ api
+    def train(self):
+        for epoch in range(self.start_epoch, self.max_epoch):
+            self._set_epoch_lr(epoch)
+            self.inference_one_epoch(epoch, "train")
+            meters = self.inference_one_epoch(epoch, "val")
+
+            if meters["loss"].avg < self.best_loss:
+                self.best_loss = meters["loss"].avg
+                self.snapshot(epoch, "best_loss")
+            self.snapshot(epoch, "latest")
+            mos_stats, _ = compute_mean_iou_recall_precision(
+                meters["mos_metric"], MOS_CLASSES
+            )
+            if mos_stats[self.metric_key] > self.best_metric:
+                self.best_metric = mos_stats[self.metric_key]
+                self.snapshot(epoch, "best_metric")
+
+    def eval(self):
+        return self.inference_one_epoch(0, "val")
+
+    # ------------------------------------------------------------------ ckpt
+    def snapshot(self, epoch, name=None):
+        state = {
+            "epoch": epoch,
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "best_loss": self.best_loss,
+            "best_metric": self.best_metric,
+        }
+        fname = os.path.join(self.save_dir, f"model_{name or epoch}.ckpt")
+        save_checkpoint(fname, state)
+        self.logger.write(f"Save model to {fname}\n")
+
+    def load_pretrain(self, path):
+        state = load_checkpoint(path)
+        self.params = partial_load(state["params"], self.params)
+        self.batch_stats = partial_load(state["batch_stats"], self.batch_stats)
+        if "opt_state" in state:
+            try:
+                self.opt_state = jax.tree.map(
+                    lambda a, b: b, self.opt_state, state["opt_state"]
+                )
+            except ValueError:
+                self.logger.write("optimizer state incompatible; reinitialised\n")
+        self.start_epoch = state.get("epoch", 0) + 1
+        self.best_loss = state.get("best_loss", self.best_loss)
+        self.best_metric = state.get("best_metric", self.best_metric)
+        self.logger.write(
+            f"Loaded pretrained model from {path} at epoch {self.start_epoch}\n"
+        )

@@ -77,6 +77,36 @@ def test_voxelize_bruteforce(rng):
     assert len(np.unique(keys[:, 0] * 10**8 + keys[:, 1] * 10**4 + keys[:, 2])) == m
 
 
+def test_native_voxelizer_matches_numpy(rng):
+    """C++ hash voxelizer and numpy unique voxelizer must agree on the
+    partition (pillar ids are internal, so compare point->cell mapping)."""
+    import importlib
+    import pcaccumulation_tpu.data.voxelizer as vx
+    from pcaccumulation_tpu.native.host import native_voxelize
+
+    n = 8000
+    pts = (rng.random((n, 3)) * 70 - 35).astype(np.float32)
+    tid = rng.integers(0, 5, n).astype(np.int32)
+    args = ([0.25, 0.25, 8], [-36, -36, -5, 36, 36, 3], 5, 12000)
+
+    nat = native_voxelize(pts, tid, *args)
+    assert nat is not None, "native lib failed to build"
+    coords_n, valid_n, p2v_n, inr_n = nat
+
+    old = vx._USE_NATIVE
+    vx._USE_NATIVE = False
+    try:
+        coords_p, valid_p, p2v_p, inr_p = vx.voxelize(pts, tid, *args)
+    finally:
+        vx._USE_NATIVE = old
+
+    assert valid_n.sum() == valid_p.sum()
+    np.testing.assert_array_equal(inr_n, inr_p)
+    # same cell for every point (ids differ, cells must match)
+    sel = inr_n & (p2v_n < 12000)
+    np.testing.assert_array_equal(coords_n[p2v_n[sel]], coords_p[p2v_p[sel]])
+
+
 def test_prep_sample_shapes_and_masks():
     cfg = small_cfg()
     data = generate_sample(seed=2, n_frames=5)

@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pcaccumulation_tpu.config import load_config
+from pcaccumulation_tpu.data.synthetic import generate_sample
+from pcaccumulation_tpu.data.dataset import prep_sample
+from pcaccumulation_tpu.data.loader import collate
+from pcaccumulation_tpu.models import MotionNet
+from pcaccumulation_tpu.train.loss import fuse_loss
+
+
+def tiny_cfg():
+    cfg = load_config()
+    cfg["voxel_generator"].update(
+        {"range": [-8, -8, -5, 8, 8, 3], "voxel_size": [0.25, 0.25, 8],
+         "n_sweeps": 3, "crop_range": [8, -5, 3]}
+    )
+    cfg["capacity"] = {"max_points": 6000, "max_pillars": 4000, "max_instances": 8}
+    cfg["data"].update({"n_frames": 3, "freq": 10.0, "max_speed": 20})
+    cfg["pose_estimation"]["n_kpts"] = 128
+    cfg["tpointnet"]["n_iterations"] = 2
+    cfg["tpointnet"]["min_points"] = 5
+    from pcaccumulation_tpu.config import derive
+
+    return derive(cfg)
+
+
+def tiny_batch(cfg, batch_size=1, seed=0):
+    samples = []
+    for i in range(batch_size):
+        data = generate_sample(
+            seed=seed + i, n_frames=3, freq=10.0, n_static_clusters=6,
+            n_dynamic=2, pts_per_cluster=150, pts_per_object=80, area=6.0,
+        )
+        samples.append(prep_sample(data, cfg, augment=False))
+    return collate(samples)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    batch = tiny_batch(cfg)
+    model = MotionNet(cfg)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+    )
+    return cfg, model, variables, jbatch
+
+
+def test_forward_shapes_and_finiteness(setup):
+    cfg, model, variables, batch = setup
+    results = model.apply(
+        variables, batch, train=False, mode="val",
+        rngs={"sample": jax.random.key(2)},
+    )
+    b, n = batch["points"].shape[:2]
+    t = cfg["voxel_generator"]["n_sweeps"]
+    h = cfg["voxel_generator"]["grid_size"][1]
+    assert results["fb_seg_est"].shape == (b, t, h, h, 2)
+    assert results["mos_est"].shape == (b, n, 2)
+    assert results["offset_est"].shape == (b, n, 2)
+    assert results["ego_motion_est"].shape == (b, t, 4, 4)
+    assert results["rec_est"].shape == (b, n, 3)
+    for key in ("ego_l1_loss", "ego_l2_loss", "ego_rot_error", "ego_trans_error",
+                "inst_l2_error", "dynamic_inst_l2_error"):
+        assert np.isfinite(float(results[key])), key
+    # with random weights the ego estimate is wild but must be a rigid pose
+    det = np.linalg.det(np.asarray(results["ego_motion_est"])[..., :3, :3])
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
+
+
+def test_loss_and_grads(setup):
+    cfg, model, variables, batch = setup
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        results, _ = model.apply(
+            {"params": p, **other}, batch, train=True, mode="train",
+            rngs={"sample": jax.random.key(3)},
+            mutable=["batch_stats"],
+        )
+        stats = fuse_loss(
+            results, batch, cfg["loss"], cfg["capacity"]["max_instances"]
+        )
+        return stats["loss"], stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for key in ("fb_loss", "mos_loss", "offset_loss", "obj_loss", "perm_loss"):
+        assert np.isfinite(float(stats[key])), key
+    # gradients flow and are finite everywhere
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    nonzero = sum(float(jnp.sum(jnp.abs(g))) > 0 for g in leaves)
+    assert nonzero > len(leaves) * 0.8, f"only {nonzero}/{len(leaves)} grads nonzero"
+
+
+def test_metric_counters(setup):
+    cfg, model, variables, batch = setup
+    results = model.apply(
+        variables, batch, train=False, mode="val",
+        rngs={"sample": jax.random.key(2)},
+    )
+    stats = fuse_loss(results, batch, cfg["loss"], cfg["capacity"]["max_instances"])
+    for key in ("fb_metric", "mos_metric"):
+        m = stats[key]
+        inter = np.asarray(m["intersection"])
+        union = np.asarray(m["union"])
+        assert inter.shape == (2,)
+        assert np.all(inter <= union + 1e-6)
