@@ -129,7 +129,17 @@ def test_augmentation_preserves_gt_consistency():
     """Pose conjugation must keep reconstruction consistent after augmentation
     (dataset.py:118-138)."""
     cfg = small_cfg()
-    data = generate_sample(seed=3, n_frames=5)
+    checked_total = 0
+    for seed in (3, 4, 5, 6):
+        checked_total += _check_one_aug(cfg, seed)
+    assert checked_total >= 1, "no fully-visible instance across seeds"
+
+
+def _check_one_aug(cfg, seed):
+    # keep the scene under max_points so the capacity subsample does not
+    # thin the per-object counts below the full-visibility check
+    data = generate_sample(seed=seed, n_frames=5, area=18.0,
+                           n_static_clusters=10, pts_per_cluster=150)
     s = prep_sample(data, cfg, augment=True, rng=np.random.default_rng(0))
     v = s["point_valid"]
     pts = jnp.asarray(s["points"][v])
@@ -140,15 +150,19 @@ def test_augmentation_preserves_gt_consistency():
         se3.reconstruct_sequence(comp, tid, inst, jnp.asarray(s["inst_motion_gt"]))
     )
     tid_np, inst_np = np.asarray(tid), np.asarray(inst)
+    checked = 0
     for k in range(1, int(inst_np.max()) + 1):
-        sel0 = (inst_np == k) & (tid_np == 0)
-        if sel0.sum() == 0:
+        counts = [(inst_np == k) & (tid_np == t) for t in range(5)]
+        # objects straddling the crop boundary lose different points per
+        # frame, which shifts centroids — only fully-visible objects are a
+        # valid consistency probe (each object has 80 points per frame)
+        if any(c.sum() < 78 for c in counts):
             continue
-        centre0 = rec[sel0].mean(0)
+        centre0 = rec[counts[0]].mean(0)
         for t in range(1, 5):
-            selt = (inst_np == k) & (tid_np == t)
-            if selt.sum():
-                assert np.linalg.norm(rec[selt].mean(0) - centre0) < 0.08
+            assert np.linalg.norm(rec[counts[t]].mean(0) - centre0) < 0.08
+        checked += 1
+    return checked
 
 
 def test_dataset_and_loader(tmp_path):

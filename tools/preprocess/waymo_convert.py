@@ -1,0 +1,115 @@
+"""Waymo Open Dataset -> training `.npz` converter.
+
+    python tools/preprocess/waymo_convert.py <tfrecord_dir> <out_dir> \
+        [--n-sweeps 5]
+
+Rebuilds the reference's dataset_toolbox/waymo path (SURVEY.md §2.3,
+waymo/converter.py + prep_nuscene_waymo_sf/waymo.py): decode range images
+to cartesian points, transform a window of n_sweeps frames into the last
+frame's vehicle frame, track labelled boxes by object id, and emit the
+runtime contract via tools/preprocess/core.build_sample (instance motion =
+Kabsch on box corners, waymo.py:99-133; sd label from object speed,
+waymo.py:104). Requires `waymo-open-dataset` + tensorflow (not bundled in
+this image — the converter degrades to a clear error).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from collections import deque
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from tools.preprocess import core  # noqa: E402
+
+
+def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
+    try:
+        import tensorflow as tf
+        from waymo_open_dataset import dataset_pb2
+        from waymo_open_dataset.utils import frame_utils
+    except ImportError as e:  # pragma: no cover
+        raise SystemExit(
+            "waymo-open-dataset-tf and tensorflow are required "
+            f"(import failed: {e})"
+        )
+
+    files = sorted(glob.glob(os.path.join(tfrecord_dir, "*.tfrecord")))
+    os.makedirs(out_dir, exist_ok=True)
+    infos = []
+
+    for path in files:
+        scene = os.path.splitext(os.path.basename(path))[0]
+        scene_dir = os.path.join(out_dir, scene)
+        os.makedirs(scene_dir, exist_ok=True)
+        window: deque = deque(maxlen=n_sweeps)
+
+        for rec_idx, record in enumerate(tf.data.TFRecordDataset(path)):
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(record.numpy())
+
+            # points in vehicle frame
+            (range_images, camera_projections, _, range_image_top_pose) = (
+                frame_utils.parse_range_image_and_camera_projection(frame)
+            )
+            points, _ = frame_utils.convert_range_image_to_point_cloud(
+                frame, range_images, camera_projections, range_image_top_pose
+            )
+            pts_vehicle = np.concatenate(points)
+
+            pose = np.array(frame.pose.transform).reshape(4, 4)  # global<-veh
+            labels = {
+                l.id: l for l in frame.laser_labels
+                if l.type != l.TYPE_SIGN  # fb label = label != sign (waymo.py)
+            }
+            window.append((pts_vehicle, pose, labels))
+            if len(window) < n_sweeps:
+                continue
+
+            # anchor = OLDEST frame of the window (frame 0 in the contract)
+            anchor_pose = window[0][1]
+            anchor_from_global = np.linalg.inv(anchor_pose)
+
+            frame_points, ego_list = [], []
+            ids = sorted({i for _, _, ls in window for i in ls})
+            boxes = np.zeros((len(ids), n_sweeps, 7))
+            valid = np.zeros((len(ids), n_sweeps), bool)
+            for t, (pts, pose_t, labels_t) in enumerate(window):
+                ego = anchor_from_global @ pose_t  # vehicle t -> anchor
+                frame_points.append((ego[:3, :3] @ pts.T).T + ego[:3, 3])
+                ego_list.append(ego)
+                for i, oid in enumerate(ids):
+                    lab = labels_t.get(oid)
+                    if lab is None:
+                        continue
+                    b = lab.box
+                    centre = ego[:3, :3] @ [b.center_x, b.center_y, b.center_z] + ego[:3, 3]
+                    yaw = b.heading + np.arctan2(ego[1, 0], ego[0, 0])
+                    boxes[i, t] = [*centre, b.length, b.width, b.height, yaw]
+                    valid[i, t] = True
+
+            data = core.build_sample(
+                frame_points, np.stack(ego_list), boxes, valid,
+                foreground=np.ones(len(ids), bool), freq=freq,
+            )
+            rel = os.path.join(scene, f"{rec_idx:05d}.npz")
+            np.savez_compressed(os.path.join(out_dir, rel), **data)
+            infos.append(rel)
+
+    with open(os.path.join(out_dir, "all_info.txt"), "w") as f:
+        f.write("\n".join(infos) + "\n")
+    print(f"wrote {len(infos)} samples")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tfrecord_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--n-sweeps", type=int, default=5)
+    args = ap.parse_args()
+    convert(args.tfrecord_dir, args.out_dir, args.n_sweeps)
