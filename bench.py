@@ -68,24 +68,36 @@ def main():
         {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
     )
 
-    @jax.jit
-    def forward(variables, batch, rng):
-        return model.apply(
-            variables, batch, train=False, mode="val", rngs={"sample": rng}
-        )["rec_est"]
+    # N chained forwards inside ONE jitted program: on the axon tunnel,
+    # block_until_ready does not actually block, so per-call host timing is
+    # meaningless. We time a scalar host fetch of an n-step on-device loop
+    # for two different n and difference them, cancelling the constant
+    # dispatch/transfer overhead.
+    def many(variables, batch, n_steps):
+        def body(i, acc):
+            r = model.apply(
+                variables, batch, train=False, mode="val",
+                rngs={"sample": jax.random.fold_in(jax.random.key(0), i)},
+            )
+            return acc + jnp.sum(r["rec_est"])
 
-    # warmup / compile
-    forward(variables, jbatch, jax.random.key(0)).block_until_ready()
-    forward(variables, jbatch, jax.random.key(1)).block_until_ready()
+        # dynamic bound: one compilation serves every n
+        return jax.lax.fori_loop(0, n_steps, body, jnp.float32(0.0))
 
-    iters = 20
+    many_jit = jax.jit(many)
+
+    n1, n2 = jnp.int32(5), jnp.int32(25)
+    float(many_jit(variables, jbatch, n1))  # compile + warm the fetch path
+    float(many_jit(variables, jbatch, n2))
+
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = forward(variables, jbatch, jax.random.key(i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(many_jit(variables, jbatch, n1))
+    t1 = time.perf_counter()
+    float(many_jit(variables, jbatch, n2))
+    t2 = time.perf_counter()
 
-    seq_per_sec = batch_size * iters / dt
+    dt = (t2 - t1) - (t1 - t0)  # time for (n2 - n1) extra forwards
+    seq_per_sec = batch_size * (n2 - n1) / max(dt, 1e-9)
     print(json.dumps({
         "metric": "4-frame LiDAR sequences/sec/chip",
         "value": round(seq_per_sec, 3),

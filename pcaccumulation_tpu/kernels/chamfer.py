@@ -60,7 +60,8 @@ def _nn_kernel(a_ref, b_ref, bnorm_ref, bvalid_ref, dist_ref, idx_ref,
         best, best_idx = carry
         b_tile = b_ref[pl.ds(j * block_m, block_m), :]      # [BM, 8]
         bn = bnorm_ref[0, pl.ds(j * block_m, block_m)]      # [BM]
-        prod = jnp.dot(a, b_tile.T, preferred_element_type=jnp.float32)
+        prod = jnp.dot(a, b_tile.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         d2 = a_norm + bn[None, :] - 2.0 * prod              # [BN, BM]
         tile_min = jnp.min(d2, axis=1)
         tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * block_m

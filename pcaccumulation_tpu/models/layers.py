@@ -121,11 +121,18 @@ class SegHead2D(nn.Module):
     (unet.py:259-277)."""
 
     out_channel: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         mid = max(x.shape[-1], self.out_channel)
-        x = nn.Conv(mid, (3, 3), padding=1, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = nn.Conv(mid, (3, 3), padding=1, name="conv0", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn",
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_channel, (3, 3), padding=1, name="conv1")(x)
+        out = nn.Conv(self.out_channel, (3, 3), padding=1, name="conv1",
+                      dtype=self.dtype)(x)
+        return out.astype(in_dtype)

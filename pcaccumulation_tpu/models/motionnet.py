@@ -53,6 +53,8 @@ class MotionNet(nn.Module):
         self.pc_range = vg["range"]
         self.voxel_size = vg["voxel_size"]
         self.max_pillars = cfg["capacity"]["max_pillars"]
+        dtype_name = cfg.get("precision", {}).get("compute_dtype", "float32")
+        self.compute_dtype = None if dtype_name == "float32" else jnp.dtype(dtype_name)
 
         self.pillar_encoder = PillarFeatureNet(
             num_filters=pe["num_filters"],
@@ -65,9 +67,12 @@ class MotionNet(nn.Module):
             in_channels=cfg["unet"]["in_channels"],
             depth=cfg["unet"]["depth"],
             start_filts=cfg["unet"]["start_filts"],
+            dtype=self.compute_dtype,
         )
-        self.semseg_head = SegHead2D(2)
-        self.ego_feats_head = SegHead2D(cfg["pose_estimation"]["feats_dim"])
+        self.semseg_head = SegHead2D(2, dtype=self.compute_dtype)
+        self.ego_feats_head = SegHead2D(
+            cfg["pose_estimation"]["feats_dim"], dtype=self.compute_dtype
+        )
         self.ego_motion_head = EgoMotionHead(
             n_kpts=cfg["pose_estimation"]["n_kpts"],
             sinkhorn_iter=cfg["pose_estimation"]["sinkhorn_iter"],
@@ -77,7 +82,9 @@ class MotionNet(nn.Module):
             max_speed=cfg["data"]["max_speed"],
             seq_pose=cfg["pose_estimation"]["seq_pose"],
         )
-        self.motionhead = STPN(feat_dim=cfg["stpn"]["feat_dim"])
+        self.motionhead = STPN(
+            feat_dim=cfg["stpn"]["feat_dim"], dtype=self.compute_dtype
+        )
         self.reconstructor = AlignNet(
             n_frames=vg["n_sweeps"],
             n_iterations=cfg["tpointnet"]["n_iterations"],

@@ -22,6 +22,7 @@ from pcaccumulation_tpu.ops.bilinear import ungrid
 class STPN(nn.Module):
     feat_dim: int = 32
     offset_clamp: float = 20.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, points, point_mask, pc_range_min: float,
@@ -36,9 +37,13 @@ class STPN(nn.Module):
           classes [B, N, 2], offset [B, N, 2], mos feature map [B, H, W, 64]
         """
         # temporal aggregation (stpn.py:13-22, 79-80)
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i in range(4):
             x = nn.relu(
-                nn.Conv(self.feat_dim, (3, 3, 3), padding=1, name=f"init_conv{i}")(x)
+                nn.Conv(self.feat_dim, (3, 3, 3), padding=1, name=f"init_conv{i}",
+                        dtype=self.dtype)(x)
             )
         x = jnp.max(x, axis=1)  # [B, H, W, C]
 
@@ -46,7 +51,8 @@ class STPN(nn.Module):
         n_filters = [32, 64, 128, 128, 256]
         down = [max(64, w) for w in n_filters]
         up = [max(64, w) for w in n_filters[-2::-1]]
-        x = UNetCustomWidths(down, up, name="unet")(x)  # [B, H, W, 64]
+        x = UNetCustomWidths(down, up, self.dtype, name="unet")(x)
+        x = x.astype(in_dtype)  # [B, H, W, 64]
 
         # per-point decoding (stpn.py:91-99)
         ungridded = jax.vmap(

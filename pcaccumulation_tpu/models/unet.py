@@ -15,8 +15,9 @@ import jax.numpy as jnp
 _XAVIER = nn.initializers.xavier_normal()
 
 
-def conv3x3(out, name):
-    return nn.Conv(out, (3, 3), padding=1, kernel_init=_XAVIER, name=name)
+def conv3x3(out, name, dtype=None):
+    return nn.Conv(out, (3, 3), padding=1, kernel_init=_XAVIER, name=name,
+                   dtype=dtype)
 
 
 class DownConv(nn.Module):
@@ -24,11 +25,12 @@ class DownConv(nn.Module):
 
     out_channels: int
     pooling: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(conv3x3(self.out_channels, "conv1")(x))
-        x = nn.relu(conv3x3(self.out_channels, "conv2")(x))
+        x = nn.relu(conv3x3(self.out_channels, "conv1", self.dtype)(x))
+        x = nn.relu(conv3x3(self.out_channels, "conv2", self.dtype)(x))
         before_pool = x
         if self.pooling:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -40,17 +42,18 @@ class UpConv(nn.Module):
     (unet.py:74-113)."""
 
     out_channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, from_down, from_up):
         up = nn.ConvTranspose(
             self.out_channels, (2, 2), strides=(2, 2), kernel_init=_XAVIER,
-            name="upconv",
+            name="upconv", dtype=self.dtype,
         )(from_up)
-        x = nn.relu(conv3x3(self.out_channels, "conv1")(
+        x = nn.relu(conv3x3(self.out_channels, "conv1", self.dtype)(
             jnp.concatenate([up, from_down], axis=-1)
         ))
-        x = nn.relu(conv3x3(self.out_channels, "conv2")(x))
+        x = nn.relu(conv3x3(self.out_channels, "conv2", self.dtype)(x))
         return x
 
 
@@ -61,20 +64,25 @@ class UNet(nn.Module):
     in_channels: int = 32
     depth: int = 5
     start_filts: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         encoder_outs = []
         outs = self.start_filts
         for i in range(self.depth):
             outs = self.start_filts * (2 ** i)
             pooling = i < self.depth - 1
-            x, before = DownConv(outs, pooling, name=f"down{i}")(x)
+            x, before = DownConv(outs, pooling, self.dtype, name=f"down{i}")(x)
             encoder_outs.append(before)
         for i in range(self.depth - 1):
             outs = outs // 2
-            x = UpConv(outs, name=f"up{i}")(encoder_outs[-(i + 2)], x)
-        return conv3x3(self.in_channels, "conv_final")(x)
+            x = UpConv(outs, self.dtype, name=f"up{i}")(encoder_outs[-(i + 2)], x)
+        out = conv3x3(self.in_channels, "conv_final", self.dtype)(x)
+        return out.astype(in_dtype)
 
 
 class UNetCustomWidths(nn.Module):
@@ -84,14 +92,15 @@ class UNetCustomWidths(nn.Module):
 
     down_widths: Sequence[int]
     up_widths: Sequence[int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         encoder_outs = []
         for i, w in enumerate(self.down_widths):
             pooling = i < len(self.down_widths) - 1
-            x, before = DownConv(w, pooling, name=f"down{i}")(x)
+            x, before = DownConv(w, pooling, self.dtype, name=f"down{i}")(x)
             encoder_outs.append(before)
         for i, w in enumerate(self.up_widths):
-            x = UpConv(w, name=f"up{i}")(encoder_outs[-(i + 2)], x)
+            x = UpConv(w, self.dtype, name=f"up{i}")(encoder_outs[-(i + 2)], x)
         return x
