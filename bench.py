@@ -86,18 +86,21 @@ def main():
 
     many_jit = jax.jit(many)
 
-    n1, n2 = jnp.int32(5), jnp.int32(25)
-    float(many_jit(variables, jbatch, n1))  # compile + warm the fetch path
-    float(many_jit(variables, jbatch, n2))
+    # python ints here: jnp scalars would make seq_per_sec a traced array
+    # and crash json.dumps (round 1's BENCH failure); the fori_loop bound is
+    # passed as jnp.int32 so one compilation serves both n.
+    n1, n2 = 5, 25
+    float(many_jit(variables, jbatch, jnp.int32(n1)))  # compile + warm
+    float(many_jit(variables, jbatch, jnp.int32(n2)))
 
     t0 = time.perf_counter()
-    float(many_jit(variables, jbatch, n1))
+    float(many_jit(variables, jbatch, jnp.int32(n1)))
     t1 = time.perf_counter()
-    float(many_jit(variables, jbatch, n2))
+    float(many_jit(variables, jbatch, jnp.int32(n2)))
     t2 = time.perf_counter()
 
     dt = (t2 - t1) - (t1 - t0)  # time for (n2 - n1) extra forwards
-    seq_per_sec = batch_size * (n2 - n1) / max(dt, 1e-9)
+    seq_per_sec = float(batch_size * (n2 - n1) / max(dt, 1e-9))
     print(json.dumps({
         "metric": "4-frame LiDAR sequences/sec/chip",
         "value": round(seq_per_sec, 3),
