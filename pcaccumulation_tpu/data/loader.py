@@ -18,6 +18,13 @@ def collate(samples: list[dict]) -> dict:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+class _WorkerError:
+    """Sentinel carrying a prefetch-worker exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class make_loader:
     """Iterable over shuffled, collated batches.
 
@@ -64,7 +71,14 @@ class make_loader:
             for b in batch_list:
                 if stop.is_set():
                     return
-                q.put(collate([self.dataset[int(i)] for i in b]))
+                try:
+                    q.put(collate([self.dataset[int(i)] for i in b]))
+                except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                    # surface the failure instead of deadlocking the
+                    # consumer's q.get() (reference prints per-batch
+                    # exceptions — libs/trainer.py:234-235; we fail fast)
+                    q.put(_WorkerError(e))
+                    return
 
         chunks = [batches[i::self.num_workers] for i in range(self.num_workers)]
         threads = [threading.Thread(target=worker, args=(c,), daemon=True) for c in chunks]
@@ -74,6 +88,9 @@ class make_loader:
             # workers interleave; order differs from `batches` but every
             # batch is produced exactly once
             for _ in range(len(batches)):
-                yield q.get()
+                item = q.get()
+                if isinstance(item, _WorkerError):
+                    raise RuntimeError("data loader worker failed") from item.exc
+                yield item
         finally:
             stop.set()

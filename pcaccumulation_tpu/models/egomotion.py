@@ -60,6 +60,9 @@ class EgoMotionHead(nn.Module):
     freq: float = 10.0
     max_speed: float = 20.0
     seq_pose: str = "skip"
+    icp: bool = False            # egomotion.py:440 refine_with_icp
+    icp_threshold: float = 0.15  # reference default.yaml:81
+    icp_max_iter: int = 50
 
     @nn.compact
     def __call__(
@@ -73,6 +76,7 @@ class EgoMotionHead(nn.Module):
         time_idx,       # [B, N] int
         point_valid,    # [B, N] bool
         ego_motion_gt,  # [B, T, 4, 4]
+        point_bg=None,  # [B, N] bool — estimated background points (ICP)
     ) -> dict:
         # affinity parameters (egomotion.py:41-42)
         alpha = self.param("alpha", nn.initializers.constant(-5.0), ())
@@ -98,6 +102,12 @@ class EgoMotionHead(nn.Module):
         top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
         have = jnp.isfinite(top_vals)
         top_idx = jnp.where(have, top_idx, top_idx[..., :1])  # duplicate first
+        # degenerate-frame guard: a frame with ZERO valid background pillars
+        # would otherwise feed arbitrary top_k indices into Kabsch. The
+        # reference never sees this (it resamples such samples at the
+        # dataset level — libs/dataset.py:218-219); here the pair's pose is
+        # gated to identity and excluded from the losses below.
+        frame_ok = jnp.any(frame_mask, axis=-1)  # [B, T]
 
         def take(arr, idx):  # arr [B, M, ...] idx [B, T, n]
             flat = idx.reshape(b, t_frames * n)
@@ -126,12 +136,26 @@ class EgoMotionHead(nn.Module):
         log_perm = log_sinkhorn(affinity, n_iters=self.sinkhorn_iter, slack=self.slack)
         perm = jnp.exp(log_perm) * support  # [B, P, n, n]
 
+        pair_ok = frame_ok[:, src_f] & frame_ok[:, tgt_f]  # [B, P]
+        # identity perm for degenerate pairs: row/col sums become exactly 1,
+        # so the Sinkhorn outlier loss sees zero contribution from them
+        perm = jnp.where(
+            pair_ok[..., None, None],
+            perm,
+            jnp.eye(n, dtype=perm.dtype)[None, None],
+        )
+
         row_sum = jnp.sum(perm, axis=-1)  # [B, P, n]
         weighted_t = jnp.einsum("bpnm,bpmc->bpnc", perm, ct, precision=_HI) / (
             row_sum[..., None] + _EPS
         )
         rot, trans = weighted_kabsch(cs, weighted_t, row_sum)  # [B,P,3,3],[B,P,3]
         pose_pairs = se3.make_transform(rot, trans)  # [B, P, 4, 4]
+        pose_pairs = jnp.where(
+            pair_ok[..., None, None],
+            pose_pairs,
+            jnp.eye(4, dtype=pose_pairs.dtype)[None, None],
+        )
 
         # ---- ground-truth relative poses for every pair -------------------
         gt_src = ego_motion_gt[:, src_f]  # [B, P, 4, 4]
@@ -149,8 +173,10 @@ class EgoMotionHead(nn.Module):
         count = jnp.sum(in_frame, axis=-1) + _EPS
         l1_pp = jnp.sum(jnp.sum(jnp.abs(diff), axis=-1) * in_frame, axis=-1) / count
         l2_pp = jnp.sum(safe_norm(diff, axis=-1) * in_frame, axis=-1) / count
-        ego_l1_loss = jnp.mean(l1_pp)
-        ego_l2_loss = jnp.mean(l2_pp)
+        okf = pair_ok.astype(points.dtype)  # degenerate pairs excluded
+        n_ok = jnp.sum(okf) + _EPS
+        ego_l1_loss = jnp.sum(l1_pp * okf) / n_ok
+        ego_l2_loss = jnp.sum(l2_pp * okf) / n_ok
 
         # ---- chain into frame->anchor poses -------------------------------
         eye = jnp.broadcast_to(jnp.eye(4, dtype=points.dtype), (b, 1, 4, 4))
@@ -163,6 +189,19 @@ class EgoMotionHead(nn.Module):
             for p_idx in chained_src:
                 poses.append(se3.compose(poses[-1], pose_pairs[:, p_idx]))
             chained_est = jnp.stack(poses, axis=1)
+
+        # ---- optional ICP refinement (egomotion.py:360-384, :440) ---------
+        # non-differentiable in the reference (host Open3D): stop-gradient
+        if self.icp and point_bg is not None:
+            from pcaccumulation_tpu.ops.icp import refine_ego_poses
+
+            chained_est = jax.lax.stop_gradient(
+                refine_ego_poses(
+                    points, time_idx, point_valid, point_bg, chained_est,
+                    threshold=self.icp_threshold,
+                    max_iterations=self.icp_max_iter,
+                )
+            )
 
         chained_gt = jnp.concatenate(
             [eye, se3.relative_pose(ego_motion_gt[:, 1:], ego_motion_gt[:, :1])],

@@ -9,10 +9,10 @@ The reference's dynamic gates (`if fb_mask.sum() > MIN_POINTS`,
 motionnet.py:222,243) become `jnp.where` selections on default outputs, so
 the same graph covers every input.
 
-Test-time clustering (motionnet.py:238, DBSCAN on CPU in the reference) is
-*not* inside this module: the test pipeline runs the jax clustering op
-between the forward pass and the reconstruction decode, then feeds the
-estimated instance labels back in via `inst_labels_override`.
+Test-time clustering (motionnet.py:238, DBSCAN on CPU in the reference)
+runs ON DEVICE inside this module in test mode (ops/cluster.py, called
+below), so the whole test forward is one jitted program; callers that
+cluster externally can inject labels via `inst_labels_override` instead.
 """
 
 from __future__ import annotations
@@ -81,6 +81,9 @@ class MotionNet(nn.Module):
             freq=cfg["data"]["freq"],
             max_speed=cfg["data"]["max_speed"],
             seq_pose=cfg["pose_estimation"]["seq_pose"],
+            icp=cfg["pose_estimation"].get("icp", False),
+            icp_threshold=cfg["pose_estimation"].get("icp_threshold", 0.15),
+            icp_max_iter=cfg["pose_estimation"].get("icp_max_iter", 50),
         )
         self.motionhead = STPN(
             feat_dim=cfg["stpn"]["feat_dim"], dtype=self.compute_dtype
@@ -89,6 +92,10 @@ class MotionNet(nn.Module):
             n_frames=vg["n_sweeps"],
             n_iterations=cfg["tpointnet"]["n_iterations"],
             min_points_per_frame=cfg["tpointnet"]["min_points"],
+            icp=cfg["tpointnet"].get("icp", False),
+            icp_threshold=cfg["tpointnet"].get("icp_threshold", 0.25),
+            icp_max_iter=cfg["tpointnet"].get("icp_max_iter", 50),
+            icp_max_points=cfg["tpointnet"].get("icp_max_points", 1024),
         )
 
     def __call__(self, batch: dict, train: bool = False, mode: str = "train",
@@ -168,6 +175,7 @@ class MotionNet(nn.Module):
             time_idx,
             point_valid,
             ego_motion_gt,
+            point_bg=(fb_est_point == 0) & point_valid,
         )
         results.update(ego)
 

@@ -229,6 +229,10 @@ class AlignNet(nn.Module):
     n_frames: int = 5
     n_iterations: int = 1
     min_points_per_frame: int = 10
+    icp: bool = False            # alignnet.py:266 refine_with_icp
+    icp_threshold: float = 0.25  # reference configs/default.yaml:97
+    icp_max_iter: int = 50
+    icp_max_points: int = 1024   # static per-instance point budget
 
     @nn.compact
     def __call__(
@@ -303,6 +307,20 @@ class AlignNet(nn.Module):
             updated_gt = se3.make_transform(r_new, t_new)
 
             final_pose = est if final_pose is None else se3.compose(est, final_pose)
+
+        # optional per-instance ICP refinement (alignnet.py:266) —
+        # non-differentiable in the reference (host Open3D): stop-gradient
+        if self.icp:
+            from pcaccumulation_tpu.ops.icp import refine_instance_poses
+
+            final_pose = jax.lax.stop_gradient(
+                refine_instance_poses(
+                    jax.lax.stop_gradient(pts), tid, gid, valid, final_pose,
+                    threshold=self.icp_threshold,
+                    max_iterations=self.icp_max_iter,
+                    max_points=self.icp_max_points,
+                )
+            )
 
         # final error (alignnet.py:269-280)
         rec_est = se3.reconstruct_sequence(pts, tid, gid, final_pose)

@@ -60,29 +60,63 @@ def voxel_downsample(points, valid, voxel_size: float, max_out: int):
     return rep_idx, rep_valid, inverse
 
 
+def _neighbour_pass(points, valid, labels_masked, eps2, block: int):
+    """One tiled sweep over the implicit <=eps adjacency.
+
+    Returns (neighbour_count [N] int32, neighbour_label_min [N] int32)
+    without ever materialising the [N, N] matrix: rows are processed in
+    blocks of `block`, so peak memory is O(block * N) instead of O(N^2)
+    (round 1 materialised a ~1 GB d2 at the default 16384-point cap).
+    Distances use the exact difference form, keeping co-membership
+    bit-identical to the previous dense implementation (and sklearn).
+    """
+    n = points.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    val = jnp.pad(valid, (0, pad))
+
+    def f(i):
+        r0 = i * block
+        rows = jax.lax.dynamic_slice(pts, (r0, 0), (block, 3))
+        rvalid = jax.lax.dynamic_slice(val, (r0,), (block,))
+        d2 = jnp.sum((rows[:, None] - points[None]) ** 2, axis=-1)
+        adj = (d2 <= eps2) & rvalid[:, None] & valid[None, :]
+        cnt = jnp.sum(adj, axis=1).astype(jnp.int32)
+        nmin = jnp.min(jnp.where(adj, labels_masked[None, :], _BIG), axis=1)
+        return cnt, nmin
+
+    cnts, nmins = jax.lax.map(f, jnp.arange(nb))
+    return cnts.reshape(-1)[:n], nmins.reshape(-1)[:n]
+
+
 def dbscan_labels(
     points,
     valid,
     eps: float,
     min_samples: int,
     n_iters: int = 16,
+    block: int = 512,
 ):
     """DBSCAN cluster ids over [N, 3] points; 0-based representative index
-    labels, -1 for noise. N is static; pairwise O(N^2) memory."""
+    labels, -1 for noise. N is static; memory is O(block * N) via the
+    tiled neighbour pass (no [N, N] adjacency)."""
     n = points.shape[0]
-    d2 = jnp.sum((points[:, None] - points[None]) ** 2, axis=-1)
-    adj = (d2 <= eps * eps) & valid[:, None] & valid[None, :]
-    core = (jnp.sum(adj, axis=1) >= min_samples) & valid
+    eps2 = eps * eps
+    counts, _ = _neighbour_pass(
+        points, valid, jnp.zeros(n, jnp.int32), eps2, block
+    )
+    core = (counts >= min_samples) & valid
 
     idx = jnp.arange(n, dtype=jnp.int32)
     labels = jnp.where(core, idx, _BIG)
 
     def body(_, labels):
-        # min label over core neighbours (core-core propagation)
+        # min label over core neighbours (core-core propagation):
+        # masking non-core labels to _BIG is equivalent to restricting the
+        # adjacency columns to core points
         lab_core = jnp.where(core, labels, _BIG)
-        neigh_min = jnp.min(
-            jnp.where(adj & core[None, :], lab_core[None, :], _BIG), axis=1
-        )
+        _, neigh_min = _neighbour_pass(points, valid, lab_core, eps2, block)
         labels = jnp.where(core, jnp.minimum(labels, neigh_min), labels)
         # pointer jumping: follow the representative's representative
         jumped = labels[jnp.clip(labels, 0, n - 1)]
@@ -93,9 +127,7 @@ def dbscan_labels(
 
     # border points: smallest core-neighbour label
     lab_core = jnp.where(core, labels, _BIG)
-    border_min = jnp.min(
-        jnp.where(adj & core[None, :], lab_core[None, :], _BIG), axis=1
-    )
+    _, border_min = _neighbour_pass(points, valid, lab_core, eps2, block)
     labels = jnp.where(core, labels, border_min)
     return jnp.where(valid & (labels < _BIG), labels, -1)
 

@@ -38,30 +38,42 @@ from pcaccumulation_tpu.utils.checkpoint import (
     partial_load,
     save_checkpoint,
 )
-from pcaccumulation_tpu.utils.logging import Logger
+from pcaccumulation_tpu.utils.logging import Logger, MetricsWriter
 
 MOS_CLASSES = ["static", "moving"]
 FB_CLASSES = ["background", "foreground"]
 
 
-def make_optimizer(cfg: dict):
+def make_optimizer(cfg: dict, updates_per_epoch: int = 1):
+    """Optimizer with per-epoch exponential LR decay traced into the step.
+
+    The decay is a step-count optax schedule (staircase over
+    updates_per_epoch optimizer updates), so it takes effect inside the
+    once-jitted train step — rebuilding the optimizer per epoch (round 1)
+    was a silent no-op because the compiled program had the epoch-0 LR
+    baked in. Matches the reference's ExponentialLR.step() per epoch
+    (toolbox/config.py:29-47, libs/trainer.py:261).
+    """
     opt_cfg = cfg["optimizer"]
     lr0 = opt_cfg["learning_rate"]
     gamma = cfg["scheduler"]["exp_gamma"]
-
-    def schedule(epoch):
-        return lr0 * gamma ** epoch
-
-    def build(lr):
-        core = optax.chain(
-            optax.clip_by_global_norm(cfg["train"]["grad_clip"]),
-            optax.adamw(lr, weight_decay=opt_cfg.get("weight_decay", 0.0))
-            if opt_cfg.get("weight_decay", 0.0) > 0
-            else optax.adam(lr),
-        )
-        return optax.apply_if_finite(core, max_consecutive_errors=1000)
-
-    return build, schedule
+    schedule = optax.exponential_decay(
+        init_value=lr0,
+        transition_steps=max(1, updates_per_epoch),
+        decay_rate=gamma,
+        staircase=True,
+    )
+    core = optax.chain(
+        optax.clip_by_global_norm(cfg["train"]["grad_clip"]),
+        optax.adamw(schedule, weight_decay=opt_cfg.get("weight_decay", 0.0))
+        if opt_cfg.get("weight_decay", 0.0) > 0
+        else optax.adam(schedule),
+    )
+    tx = optax.MultiSteps(
+        optax.apply_if_finite(core, max_consecutive_errors=1000),
+        every_k_schedule=cfg["train"]["iter_size"],
+    )
+    return tx, schedule
 
 
 class Trainer:
@@ -71,6 +83,8 @@ class Trainer:
         self.loaders = loaders
         self.save_dir = save_dir or os.path.join("snapshot", cfg["misc"]["exp_name"])
         self.logger = Logger(self.save_dir)
+        self.metrics_writer = MetricsWriter(self.save_dir)
+        self.n_verbose = cfg["train"].get("n_verbose", 0)
         self.mesh = mesh
 
         self.iter_size = cfg["train"]["iter_size"]
@@ -103,21 +117,20 @@ class Trainer:
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
-        build, self.lr_schedule = make_optimizer(self.cfg)
-        self._opt_build = build
-        self.optimizer = optax.MultiSteps(
-            build(self.lr_schedule(0)), every_k_schedule=self.iter_size
+        if "train" in self.loaders:
+            updates_per_epoch = max(1, len(self.loaders["train"]) // self.iter_size)
+        else:
+            updates_per_epoch = 1
+        self.optimizer, self.lr_schedule = make_optimizer(
+            self.cfg, updates_per_epoch
         )
         self.opt_state = self.optimizer.init(self.params)
         n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(self.params))
         self.logger.write(f"#parameters {n_params / 1e6} M\n")
 
-    def _set_epoch_lr(self, epoch: int):
-        """Rebuild the optimizer with the epoch LR, keeping inner state."""
-        self.optimizer = optax.MultiSteps(
-            self._opt_build(self.lr_schedule(epoch - 1)),
-            every_k_schedule=self.iter_size,
-        )
+    def current_lr(self) -> float:
+        """LR the next optimizer update will apply (for logging)."""
+        return float(self.lr_schedule(self.opt_state.gradient_step))
 
     # ------------------------------------------------------------------ steps
     def _build_steps(self):
@@ -185,8 +198,37 @@ class Trainer:
             if meters is None:
                 meters = init_stats_meter(stats)
             update_stats_meter(meters, stats)
+            # intra-epoch scalar stream, n_verbose times per epoch
+            # (libs/trainer.py:241-243 tensorboard-equivalent)
+            if self.n_verbose > 0:
+                interval = max(1, len(loader) // self.n_verbose)
+                if (it + 1) % interval == 0:
+                    step = len(loader) * max(epoch - 1, 0) + it
+                    self.metrics_writer.write(
+                        step, phase, self._scalar_snapshot(meters)
+                    )
         self.log_epoch(meters, epoch, phase)
+        self.metrics_writer.write(
+            len(loader) * max(epoch, 1) - 1, f"epoch_{phase}",
+            self._scalar_snapshot(meters),
+        )
         return meters
+
+    def _scalar_snapshot(self, meters) -> dict:
+        out = {}
+        mos_stats, _ = compute_mean_iou_recall_precision(
+            meters["mos_metric"], MOS_CLASSES
+        )
+        out.update({f"mos_{k}": v for k, v in mos_stats.items()})
+        fb_stats, _ = compute_mean_iou_recall_precision(
+            meters["fb_metric"], FB_CLASSES
+        )
+        out.update({f"fb_{k}": v for k, v in fb_stats.items()})
+        for k, v in meters.items():
+            if not isinstance(v, dict):
+                out[k] = float(v.avg)
+        out["lr"] = self.current_lr()
+        return out
 
     def log_epoch(self, meters, epoch, phase):
         message = f"{phase} Epoch: {epoch}\t"
@@ -210,7 +252,7 @@ class Trainer:
     # ------------------------------------------------------------------ api
     def train(self):
         for epoch in range(self.start_epoch, self.max_epoch):
-            self._set_epoch_lr(epoch)
+            self.logger.write(f"epoch {epoch} lr {self.current_lr():.3e}\n")
             self.inference_one_epoch(epoch, "train")
             meters = self.inference_one_epoch(epoch, "val")
 

@@ -4,8 +4,10 @@ Mirrors the reference's policy (libs/trainer.py:65-110): a state dict of
 {params, batch_stats, opt_state, epoch, best_loss, best_metric} saved as
 rolling `model_best_loss` / `model_best_metric` / `model_latest`, with
 partial (intersection-only) parameter loading for architecture drift
-(toolbox/utils.py:16-24). Uses orbax when available, with a
-flax-serialization fallback.
+(toolbox/utils.py:16-24). Format: pickle of a host-numpy pytree — chosen
+deliberately over orbax/msgpack because it round-trips the optax
+NamedTuple optimizer state exactly, so resume restores the full
+structure without a separately-kept template.
 """
 
 from __future__ import annotations

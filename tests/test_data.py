@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pcaccumulation_tpu.config import load_config
 from pcaccumulation_tpu.data.synthetic import generate_sample, write_synthetic_dataset
@@ -176,3 +177,21 @@ def test_dataset_and_loader(tmp_path):
     b = batches[0]
     assert b["points"].shape == (2, cfg["capacity"]["max_points"], 3)
     assert b["pillar_valid"].shape == (2, cfg["capacity"]["max_pillars"])
+
+
+def test_loader_worker_failure_propagates(tmp_path):
+    """A prefetch-worker exception must surface in the consumer instead of
+    deadlocking q.get() (round-1 weakness)."""
+
+    class BadDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom")
+            return {"x": np.zeros(2)}
+
+    loader = make_loader(BadDataset(), batch_size=2, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)

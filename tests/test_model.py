@@ -113,3 +113,82 @@ def test_metric_counters(setup):
         union = np.asarray(m["union"])
         assert inter.shape == (2,)
         assert np.all(inter <= union + 1e-6)
+
+
+def test_egomotion_degenerate_frame_guard():
+    """A frame with ZERO valid background pillars must yield an identity
+    pose estimate for its pairs, finite losses, and finite grads (the
+    reference avoids this by resampling at the dataset level —
+    libs/dataset.py:218-219)."""
+    from pcaccumulation_tpu.models.egomotion import EgoMotionHead
+
+    b, m, c, t, n_pts = 1, 64, 16, 3, 128
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(b, m, c)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    mean = rng.uniform(-5, 5, size=(b, m, 3)).astype(np.float32)
+    pillar_t = rng.integers(0, t, size=(b, m)).astype(np.int32)
+    pillar_valid = np.ones((b, m), bool)
+    bg = pillar_t != 2  # frame 2 has no background pillars at all
+    points = rng.uniform(-5, 5, size=(b, n_pts, 3)).astype(np.float32)
+    time_idx = rng.integers(0, t, size=(b, n_pts)).astype(np.int32)
+    point_valid = np.ones((b, n_pts), bool)
+    gt = np.broadcast_to(np.eye(4, dtype=np.float32), (b, t, 4, 4)).copy()
+
+    head = EgoMotionHead(n_kpts=16, n_sweeps=t, seq_pose="skip")
+    args = tuple(jnp.asarray(x) for x in (
+        feats, mean, pillar_t, pillar_valid, bg, points, time_idx,
+        point_valid, gt))
+    variables = head.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, *args
+    )
+    out = head.apply(variables, *args, rngs={"sample": jax.random.key(2)})
+    for k, v in out.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # pair (2 -> 0) is degenerate: must be exactly identity
+    np.testing.assert_allclose(np.asarray(out["ego_motion_est"][0, 2]), np.eye(4))
+    # degenerate pair's perm is identity -> zero outlier-loss contribution
+    np.testing.assert_allclose(np.asarray(out["perm_matrix"][0, 1]), np.eye(16),
+                               atol=1e-6)
+
+    def loss(params):
+        o = head.apply({"params": params}, *args,
+                       rngs={"sample": jax.random.key(2)})
+        return o["ego_l1_loss"] + jnp.sum(o["perm_matrix"])
+
+    grads = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_forward_with_icp_enabled():
+    """pose_estimation.icp + tpointnet.icp wired end-to-end: the test-mode
+    forward runs with both refinements on and yields finite rigid poses."""
+    cfg = tiny_cfg()
+    cfg["pose_estimation"]["icp"] = True
+    cfg["pose_estimation"]["icp_max_iter"] = 5
+    cfg["tpointnet"]["icp"] = True
+    cfg["tpointnet"]["icp_max_iter"] = 5
+    cfg["tpointnet"]["icp_max_points"] = 256
+    batch = tiny_batch(cfg)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    model = MotionNet(cfg)
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+    )
+    results = model.apply(
+        variables, jbatch, train=False, mode="test",
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert np.isfinite(np.asarray(results["rec_est"])).all()
+    det = np.linalg.det(np.asarray(results["ego_motion_est"])[..., :3, :3])
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
+    # only occupied instance slots carry meaningful poses (empty slots
+    # regress near-zero quats -> degenerate matrices, as in round 1)
+    labels = np.asarray(results["inst_labels_est"])
+    det_i = np.linalg.det(np.asarray(results["inst_pose_est"])[..., :3, :3])
+    for b in range(labels.shape[0]):
+        for k in np.unique(labels[b]):
+            if k > 0:
+                np.testing.assert_allclose(det_i[b, k], 1.0, atol=1e-3)

@@ -64,3 +64,61 @@ def test_val_epoch(trainer):
     meters = trainer.eval()
     assert "mos_metric" in meters
     assert np.isfinite(meters["loss"].avg)
+
+
+def test_lr_decays_inside_jitted_step():
+    """Regression: the per-epoch LR decay must act inside the once-jitted
+    step (round 1 rebuilt the optimizer per epoch, which the compiled
+    program never saw). With a constant unit gradient Adam's update
+    magnitude equals the scheduled LR after bias correction, so the step
+    sizes must follow lr0 * gamma^epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcaccumulation_tpu.train.trainer import make_optimizer
+
+    cfg = {
+        "optimizer": {"learning_rate": 0.1},
+        "scheduler": {"exp_gamma": 0.5},
+        "train": {"grad_clip": 10.0, "iter_size": 1},
+    }
+    tx, schedule = make_optimizer(cfg, updates_per_epoch=2)
+    params = jnp.zeros(())
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        updates, state = tx.update(jnp.ones(()), state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), state
+
+    deltas = []
+    for _ in range(6):
+        new_params, state = step(params, state)
+        deltas.append(abs(float(new_params - params)))
+        params = new_params
+
+    # epochs of 2 updates: 0.1, 0.1, 0.05, 0.05, 0.025, 0.025
+    np.testing.assert_allclose(
+        deltas, [0.1, 0.1, 0.05, 0.05, 0.025, 0.025], rtol=1e-4
+    )
+    assert float(schedule(0)) == pytest.approx(0.1)
+    assert float(schedule(2)) == pytest.approx(0.05)
+
+
+def test_metrics_jsonl_written(trainer):
+    """train.n_verbose intra-epoch scalar stream lands in metrics.jsonl."""
+    import json
+    import os
+
+    trainer.n_verbose = 2
+    trainer.inference_one_epoch(1, "val")
+    path = os.path.join(trainer.save_dir, "metrics.jsonl")
+    assert os.path.exists(path)
+    lines = [json.loads(l) for l in open(path)]
+    assert any(r["phase"] == "val" for r in lines)
+    assert any(r["phase"] == "epoch_val" for r in lines)
+    rec = lines[-1]
+    for key in ("step", "loss", "mos_iou", "fb_iou", "lr"):
+        assert key in rec, key
