@@ -89,3 +89,153 @@ def test_build_sample_roundtrip(rng):
     for t in range(1, T):
         selt = (inst == 1) & (tid_np == t)
         assert np.linalg.norm(rec[selt].mean(0) - rec[sel0].mean(0)) < 0.2
+
+
+def _zrot_pose(deg, trans):
+    th = np.deg2rad(deg)
+    m = np.eye(4)
+    m[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    m[:3, 3] = trans
+    return m
+
+
+def test_quat_helpers_match_scipy(rng):
+    from scipy.spatial.transform import Rotation
+
+    for _ in range(5):
+        q_xyzw = Rotation.random(random_state=rng.integers(1 << 30)).as_quat()
+        q_wxyz = np.r_[q_xyzw[3], q_xyzw[:3]]
+        np.testing.assert_allclose(
+            core.quat_wxyz_to_matrix(q_wxyz),
+            Rotation.from_quat(q_xyzw).as_matrix(), atol=1e-9,
+        )
+    yaw = core.quat_wxyz_yaw(
+        np.r_[np.cos(0.3), 0, 0, np.sin(0.3)]
+    )
+    np.testing.assert_allclose(yaw, 0.6, atol=1e-9)
+
+
+def test_nuscenes_sweep_window_to_anchor(rng):
+    """Ego chain: points of every sweep land in the anchor frame; the
+    returned ego matrices reproduce the chained global poses."""
+    from tools.preprocess.nuscenes_convert import sweep_window_to_anchor
+
+    # a fixed world landmark seen from three sensor poses
+    landmark = np.array([[10.0, 5.0, 1.0], [12.0, -3.0, 0.5]])
+    poses_g = [_zrot_pose(0, [0, 0, 0]),
+               _zrot_pose(10, [-1.0, 0.3, 0.0]),
+               _zrot_pose(20, [-2.0, 0.7, 0.0])]
+    sweeps = []
+    for g in poses_g:
+        inv = np.linalg.inv(g)
+        sensor_pts = (inv[:3, :3] @ landmark.T).T + inv[:3, 3]
+        sweeps.append({"points": sensor_pts, "global_from_sensor": g})
+
+    frame_points, ego = sweep_window_to_anchor(sweeps)
+    # anchor == sweep 0 and its global pose is identity here, so every
+    # sweep's points must map back onto the landmark
+    for t in range(3):
+        np.testing.assert_allclose(frame_points[t], landmark, atol=1e-9)
+        np.testing.assert_allclose(
+            ego[t], np.linalg.inv(poses_g[0]) @ poses_g[t], atol=1e-12
+        )
+    np.testing.assert_allclose(ego[0], np.eye(4), atol=1e-12)
+
+
+def test_nuscenes_extrapolate_boxes():
+    """Velocity extrapolation: sweep t sits t/freq seconds BEFORE the
+    keyframe, so centres move backwards along the velocity."""
+    from tools.preprocess.nuscenes_convert import extrapolate_boxes
+
+    freq = 20.0
+    anns = [{
+        "translation": [10.0, 0.0, 1.0], "yaw": 0.3,
+        "size_wlh": [2.0, 5.0, 1.8],  # nuScenes order (w, l, h)
+        "velocity": [4.0, 0.0, 0.0], "foreground": True,
+    }, {
+        "translation": [0.0, 8.0, 0.5], "yaw": 0.0,
+        "size_wlh": [1.0, 1.0, 2.0],
+        "velocity": [np.nan, np.nan, np.nan],  # devkit emits NaN sometimes
+        "foreground": False,
+    }]
+    boxes, valid, fg = extrapolate_boxes(anns, np.eye(4), 3, freq)
+    assert boxes.shape == (2, 3, 7) and valid.all()
+    np.testing.assert_allclose(boxes[0, 0, :3], [10, 0, 1])
+    np.testing.assert_allclose(boxes[0, 1, :3], [10 - 4 / freq, 0, 1])
+    np.testing.assert_allclose(boxes[0, 2, :3], [10 - 8 / freq, 0, 1])
+    # size reordered (w, l, h) -> (l, w, h)
+    np.testing.assert_allclose(boxes[0, 0, 3:6], [5.0, 2.0, 1.8])
+    np.testing.assert_allclose(boxes[1, 1, :3], [0, 8, 0.5])  # NaN vel -> 0
+    assert fg.tolist() == [True, False]
+    # a rotated anchor shifts both centre and yaw
+    anchor_from_global = np.linalg.inv(_zrot_pose(90, [0, 0, 0]))
+    boxes_r, _, _ = extrapolate_boxes(anns[:1], anchor_from_global, 1, freq)
+    np.testing.assert_allclose(boxes_r[0, 0, :3], [0, -10, 1], atol=1e-9)
+    np.testing.assert_allclose(boxes_r[0, 0, 6], 0.3 - np.pi / 2, atol=1e-9)
+
+
+def test_waymo_assemble_window_association():
+    """Box association across frames by object id, with a disappearing
+    object and correct ego compensation."""
+    from tools.preprocess.waymo_convert import assemble_window
+
+    pose0 = _zrot_pose(0, [0, 0, 0])
+    pose1 = _zrot_pose(0, [2.0, 0, 0])  # ego drove 2 m in +x
+    # object A static at world [10, 0, 1]; object B only in frame 0
+    lab_a0 = ([10.0, 0.0, 1.0], [4.0, 2.0, 1.5], 0.1)
+    lab_a1 = ([8.0, 0.0, 1.0], [4.0, 2.0, 1.5], 0.1)  # vehicle coords t=1
+    lab_b0 = ([-5.0, 3.0, 0.5], [1.0, 1.0, 2.0], 0.0)
+    pts0 = np.array([[1.0, 1.0, 0.0]])
+    pts1 = np.array([[1.0, 1.0, 0.0]])  # same vehicle coords, ego moved
+    window = [
+        (pts0, pose0, {"A": lab_a0, "B": lab_b0}),
+        (pts1, pose1, {"A": lab_a1}),
+    ]
+    frame_points, ego, boxes, valid, ids = assemble_window(window)
+    assert ids == ["A", "B"]
+    np.testing.assert_allclose(ego[0], np.eye(4), atol=1e-12)
+    np.testing.assert_allclose(ego[1], pose1, atol=1e-12)
+    # frame-1 points shifted into anchor coords by the ego motion
+    np.testing.assert_allclose(frame_points[1], [[3.0, 1.0, 0.0]], atol=1e-9)
+    # object A's anchor-frame centre is identical in both frames (static)
+    np.testing.assert_allclose(boxes[0, 0, :3], [10, 0, 1], atol=1e-9)
+    np.testing.assert_allclose(boxes[0, 1, :3], [10, 0, 1], atol=1e-9)
+    assert valid.tolist() == [[True, True], [True, False]]
+
+
+def test_waymo_window_to_contract(rng):
+    """Full fixture pipeline: assemble_window -> build_sample yields the
+    runtime contract with a moving instance labelled dynamic."""
+    from tools.preprocess.waymo_convert import assemble_window
+
+    freq = 10.0
+    pose0, pose1 = _zrot_pose(0, [0, 0, 0]), _zrot_pose(0, [1.0, 0, 0])
+    # object moving +2 m in x per frame (20 m/s > 0.5 threshold)
+    lab0 = ([5.0, 0.0, 1.0], [4.0, 2.0, 2.0], 0.0)
+    lab1 = ([6.0, 0.0, 1.0], [4.0, 2.0, 2.0], 0.0)  # 7 in anchor coords
+    in_box0 = np.array([[5.0, 0.2, 1.0]])
+    in_box1 = np.array([[6.0, -0.2, 1.0]])
+    bg = (rng.random((20, 3)) * 4 - 2) + [0, -10, 0]
+    window = [
+        (np.concatenate([in_box0, bg]), pose0, {"X": lab0}),
+        (np.concatenate([in_box1, bg]), pose1, {"X": lab1}),
+    ]
+    frame_points, ego, boxes, valid, ids = assemble_window(window)
+    data = core.build_sample(frame_points, ego, boxes, valid,
+                             foreground=np.ones(1, bool), freq=freq)
+    for key in ("raw_points", "time_indice", "sd_labels", "fb_labels",
+                "inst_labels", "sem_labels", "ego_motion_gt", "bbox_tsfm"):
+        assert key in data, key
+    inst = data["inst_labels"]
+    t_idx = data["time_indice"]
+    assert inst[t_idx == 0][0] == 1 and inst[t_idx == 1][0] == 1
+    assert data["sd_labels"][0] == 1 and data["fb_labels"][0] == 1
+    assert (inst[1:21] == 0).all()
+    # raw points are the original per-frame vehicle coords (ego
+    # compensation reversed)
+    np.testing.assert_allclose(
+        data["raw_points"][t_idx == 1][0], [6.0, -0.2, 1.0], atol=1e-6
+    )
+    # instance motion frame1->frame0 undoes the +2 m anchor-frame shift
+    moved = data["bbox_tsfm"][1, 1] @ np.r_[7.0, 0.0, 1.0, 1.0]
+    np.testing.assert_allclose(moved[:3], [5.0, 0.0, 1.0], atol=1e-6)

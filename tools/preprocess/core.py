@@ -21,6 +21,33 @@ from __future__ import annotations
 import numpy as np
 
 
+def quat_wxyz_to_matrix(q) -> np.ndarray:
+    """Unit quaternion [w, x, y, z] -> [3, 3] rotation matrix (replaces
+    the pyquaternion dependency of the devkit path)."""
+    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def quat_wxyz_yaw(q) -> float:
+    """Yaw (rotation about +z) of a [w, x, y, z] quaternion."""
+    m = quat_wxyz_to_matrix(q)
+    return float(np.arctan2(m[1, 0], m[0, 0]))
+
+
+def pose_matrix(translation, rotation) -> np.ndarray:
+    """[4, 4] rigid transform from a translation and a rotation given as
+    either a [3, 3] matrix or a [w, x, y, z] quaternion."""
+    rotation = np.asarray(rotation, np.float64)
+    m = np.eye(4)
+    m[:3, :3] = rotation if rotation.shape == (3, 3) else quat_wxyz_to_matrix(rotation)
+    m[:3, 3] = translation
+    return m
+
+
 def yaw_matrix(yaw: float) -> np.ndarray:
     c, s = np.cos(yaw), np.sin(yaw)
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])

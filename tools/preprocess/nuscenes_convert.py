@@ -31,12 +31,54 @@ FOREGROUND_CLASSES = (
 
 
 def transform_matrix(translation, rotation_quat_wxyz):
-    from pyquaternion import Quaternion
+    return core.pose_matrix(translation, rotation_quat_wxyz)
 
-    m = np.eye(4)
-    m[:3, :3] = Quaternion(rotation_quat_wxyz).rotation_matrix
-    m[:3, 3] = translation
-    return m
+
+def sweep_window_to_anchor(sweeps: list[dict]):
+    """Pure sweep-window/ego-chain assembly (fixture-testable).
+
+    sweeps: per sweep {"points": [N, 3] sensor coords,
+    "global_from_sensor": [4, 4]}; sweeps[0] is the anchor keyframe.
+    Returns (frame_points list in anchor coords, ego_motion [T, 4, 4]
+    mapping each sweep's sensor coords to the anchor).
+    """
+    anchor_from_global = np.linalg.inv(sweeps[0]["global_from_sensor"])
+    frame_points, ego_list = [], []
+    for sw in sweeps:
+        ego = anchor_from_global @ sw["global_from_sensor"]
+        pts = np.asarray(sw["points"], np.float64)
+        frame_points.append((ego[:3, :3] @ pts.T).T + ego[:3, 3])
+        ego_list.append(ego)
+    return frame_points, np.stack(ego_list)
+
+
+def extrapolate_boxes(anns: list[dict], anchor_from_global, n_sweeps: int,
+                      freq: float):
+    """Pure keyframe-box extrapolation (nuscene.py:170-179 equivalent).
+
+    anns: per annotation {"translation": [3] global, "yaw": float global,
+    "size_wlh": [3], "velocity": [3], "foreground": bool}. Sweep t is
+    t/freq seconds BEFORE the keyframe, so centres move backwards along
+    the annotated velocity. Returns (boxes [K, T, 7] anchor coords,
+    valid [K, T], foreground [K]).
+    """
+    k = len(anns)
+    boxes = np.zeros((k, n_sweeps, 7))
+    valid = np.zeros((k, n_sweeps), bool)
+    fg = np.zeros(k, bool)
+    yaw_a_off = np.arctan2(anchor_from_global[1, 0], anchor_from_global[0, 0])
+    for i, ann in enumerate(anns):
+        fg[i] = bool(ann["foreground"])
+        vel = np.nan_to_num(np.asarray(ann["velocity"], np.float64))
+        centre_g = np.asarray(ann["translation"], np.float64)
+        size = ann["size_wlh"]
+        for t in range(n_sweeps):
+            c_g = centre_g - vel * (t / freq)
+            c_a = anchor_from_global[:3, :3] @ c_g + anchor_from_global[:3, 3]
+            boxes[i, t] = [*c_a, size[1], size[0], size[2],
+                           ann["yaw"] + yaw_a_off]
+            valid[i, t] = True
+    return boxes, valid, fg
 
 
 def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
@@ -70,12 +112,10 @@ def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
             e_from_s0 = transform_matrix(cal["translation"], cal["rotation"])
             anchor_from_global = np.linalg.inv(g_from_e0 @ e_from_s0)
 
-            frame_points, ego_list = [], []
+            sweeps = []
             cur = sd
-            ok = True
             for t in range(n_sweeps):
                 if cur is None:
-                    ok = False
                     break
                 pc = LidarPointCloud.from_file(
                     os.path.join(nusc_root, cur["filename"])
@@ -86,15 +126,15 @@ def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
                     transform_matrix(pose_t["translation"], pose_t["rotation"])
                     @ transform_matrix(cal_t["translation"], cal_t["rotation"])
                 )
-                ego = anchor_from_global @ g_from_s  # sensor t -> anchor
-                pts = pc.points[:3].T  # sensor coords
-                frame_points.append((ego[:3, :3] @ pts.T).T + ego[:3, 3])
-                ego_list.append(ego)
+                sweeps.append(
+                    {"points": pc.points[:3].T, "global_from_sensor": g_from_s}
+                )
                 cur = (
                     nusc.get("sample_data", cur["prev"]) if cur["prev"] else None
                 )
-            if not ok:
+            if len(sweeps) < n_sweeps:
                 break
+            frame_points, ego_motion = sweep_window_to_anchor(sweeps)
 
             # tracked boxes across the sweep window (keyframe annotations
             # propagated by instance token; nuScenes only annotates
@@ -104,7 +144,7 @@ def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
             )
 
             data = core.build_sample(
-                frame_points, np.stack(ego_list), boxes, valid, fg, freq
+                frame_points, ego_motion, boxes, valid, fg, freq
             )
             rel = os.path.join(scene["name"], f"{sample_idx:05d}.npz")
             np.savez_compressed(os.path.join(out_dir, rel), **data)
@@ -118,32 +158,20 @@ def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
 
 
 def collect_boxes(nusc, sample, anchor_from_global, n_sweeps, freq):
-    """Boxes in anchor coords for each sweep time, extrapolated backwards
-    with the annotated velocity (nuscene.py:170-179 equivalent)."""
-    anns = [nusc.get("sample_annotation", t) for t in sample["anns"]]
-    k = len(anns)
-    boxes = np.zeros((k, n_sweeps, 7))
-    valid = np.zeros((k, n_sweeps), bool)
-    fg = np.zeros(k, bool)
-    from pyquaternion import Quaternion
-
-    for i, ann in enumerate(anns):
-        fg[i] = any(ann["category_name"].startswith(c) for c in FOREGROUND_CLASSES)
-        vel = nusc.box_velocity(ann["token"])
-        vel = np.nan_to_num(vel)
-        centre_g = np.array(ann["translation"])
-        yaw_g = Quaternion(ann["rotation"]).yaw_pitch_roll[0]
-        for t in range(n_sweeps):
-            dt = t / freq  # sweep t is t/freq seconds *before* the keyframe
-            c_g = centre_g - vel * dt
-            c_a = anchor_from_global[:3, :3] @ c_g + anchor_from_global[:3, 3]
-            yaw_a = yaw_g + np.arctan2(
-                anchor_from_global[1, 0], anchor_from_global[0, 0]
-            )
-            boxes[i, t] = [*c_a, ann["size"][1], ann["size"][0],
-                           ann["size"][2], yaw_a]
-            valid[i, t] = True
-    return boxes, valid, fg
+    """Devkit adapter: annotations -> plain dicts -> extrapolate_boxes."""
+    anns = []
+    for token in sample["anns"]:
+        ann = nusc.get("sample_annotation", token)
+        anns.append({
+            "translation": ann["translation"],
+            "yaw": core.quat_wxyz_yaw(ann["rotation"]),
+            "size_wlh": ann["size"],
+            "velocity": nusc.box_velocity(ann["token"]),
+            "foreground": any(
+                ann["category_name"].startswith(c) for c in FOREGROUND_CLASSES
+            ),
+        })
+    return extrapolate_boxes(anns, anchor_from_global, n_sweeps, freq)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,38 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from tools.preprocess import core  # noqa: E402
 
 
+def assemble_window(window: list[tuple]):
+    """Pure frame-window assembly + box association (fixture-testable).
+
+    window: list of (pts_vehicle [N, 3], pose_global_from_vehicle [4, 4],
+    labels: dict object_id -> (centre [3], lwh [3], heading)) with the
+    OLDEST frame first (= anchor frame 0 of the contract).
+    Returns (frame_points in anchor coords, ego [T, 4, 4],
+    boxes [K, T, 7], valid [K, T], ids sorted list).
+    """
+    n_sweeps = len(window)
+    anchor_from_global = np.linalg.inv(window[0][1])
+    frame_points, ego_list = [], []
+    ids = sorted({i for _, _, ls in window for i in ls})
+    boxes = np.zeros((len(ids), n_sweeps, 7))
+    valid = np.zeros((len(ids), n_sweeps), bool)
+    for t, (pts, pose_t, labels_t) in enumerate(window):
+        ego = anchor_from_global @ pose_t  # vehicle t -> anchor
+        pts = np.asarray(pts, np.float64)
+        frame_points.append((ego[:3, :3] @ pts.T).T + ego[:3, 3])
+        ego_list.append(ego)
+        for i, oid in enumerate(ids):
+            lab = labels_t.get(oid)
+            if lab is None:
+                continue
+            centre, lwh, heading = lab
+            c_a = ego[:3, :3] @ np.asarray(centre, np.float64) + ego[:3, 3]
+            yaw = heading + np.arctan2(ego[1, 0], ego[0, 0])
+            boxes[i, t] = [*c_a, *lwh, yaw]
+            valid[i, t] = True
+    return frame_points, np.stack(ego_list), boxes, valid, ids
+
+
 def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
     try:
         import tensorflow as tf
@@ -64,7 +96,12 @@ def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
 
             pose = np.array(frame.pose.transform).reshape(4, 4)  # global<-veh
             labels = {
-                l.id: l for l in frame.laser_labels
+                l.id: (
+                    [l.box.center_x, l.box.center_y, l.box.center_z],
+                    [l.box.length, l.box.width, l.box.height],
+                    l.box.heading,
+                )
+                for l in frame.laser_labels
                 if l.type != l.TYPE_SIGN  # fb label = label != sign (waymo.py)
             }
             window.append((pts_vehicle, pose, labels))
@@ -72,29 +109,11 @@ def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
                 continue
 
             # anchor = OLDEST frame of the window (frame 0 in the contract)
-            anchor_pose = window[0][1]
-            anchor_from_global = np.linalg.inv(anchor_pose)
-
-            frame_points, ego_list = [], []
-            ids = sorted({i for _, _, ls in window for i in ls})
-            boxes = np.zeros((len(ids), n_sweeps, 7))
-            valid = np.zeros((len(ids), n_sweeps), bool)
-            for t, (pts, pose_t, labels_t) in enumerate(window):
-                ego = anchor_from_global @ pose_t  # vehicle t -> anchor
-                frame_points.append((ego[:3, :3] @ pts.T).T + ego[:3, 3])
-                ego_list.append(ego)
-                for i, oid in enumerate(ids):
-                    lab = labels_t.get(oid)
-                    if lab is None:
-                        continue
-                    b = lab.box
-                    centre = ego[:3, :3] @ [b.center_x, b.center_y, b.center_z] + ego[:3, 3]
-                    yaw = b.heading + np.arctan2(ego[1, 0], ego[0, 0])
-                    boxes[i, t] = [*centre, b.length, b.width, b.height, yaw]
-                    valid[i, t] = True
-
+            frame_points, ego_motion, boxes, valid, ids = assemble_window(
+                list(window)
+            )
             data = core.build_sample(
-                frame_points, np.stack(ego_list), boxes, valid,
+                frame_points, ego_motion, boxes, valid,
                 foreground=np.ones(len(ids), bool), freq=freq,
             )
             rel = os.path.join(scene, f"{rec_idx:05d}.npz")
