@@ -38,7 +38,7 @@ def bench_cfg(batch_size: int = 1):
     cfg["data"].update({"n_frames": 4, "freq": 10.0, "max_speed": 30,
                         "ground_height": 0.04})
     cfg["capacity"] = {"max_points": 60000, "max_pillars": 25000,
-                       "max_instances": 32}
+                       "max_instances": 32, "max_fg_points": 16384}
     cfg["tpointnet"]["n_iterations"] = 2
     cfg["cluster"]["max_cluster_points"] = 8192
     return derive(cfg)

@@ -22,6 +22,8 @@ from pcaccumulation_tpu.utils.logging import setup_seed
 
 
 def build_loaders(cfg):
+    import jax
+
     loaders = {}
     for split, bs_key in (("train", "train"), ("val", "val"), ("test", "test")):
         try:
@@ -35,6 +37,9 @@ def build_loaders(cfg):
             num_workers=cfg[bs_key]["num_workers"],
             drop_last=(split != "test"),
             seed=cfg["misc"]["seed"],
+            # multi-host: each process loads a disjoint slice
+            process_id=jax.process_index(),
+            process_count=jax.process_count(),
         )
     return loaders
 

@@ -38,24 +38,42 @@ class make_loader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 num_workers: int = 2, drop_last: bool = True, seed: int = 0):
+                 num_workers: int = 2, drop_last: bool = True, seed: int = 0,
+                 process_id: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        # multi-host input sharding: every process shuffles with the SAME
+        # seed, then takes a disjoint round-robin slice of the batch list
+        # (mirrors the reference's DatasetSampler shuffling, dataset.py:10-20,
+        # extended across hosts). Lengths are trimmed so all hosts run the
+        # same number of steps.
+        self.process_id = process_id
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        nb = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return nb // self.process_count if self.process_count > 1 else nb
 
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
-        nb = len(self)
-        return [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
+        n = len(self.dataset)
+        nb_total = (
+            n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        )
+        batches = [
+            idx[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(nb_total)
+        ]
+        if self.process_count > 1:
+            batches = batches[self.process_id::self.process_count][:len(self)]
+        return batches
 
     def __iter__(self):
         batches = self._index_batches()

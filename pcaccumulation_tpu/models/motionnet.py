@@ -186,10 +186,11 @@ class MotionNet(nn.Module):
         x_reso, y_reso = self.voxel_size[0], self.voxel_size[1]
         x_min, y_min = self.pc_range[0], self.pc_range[1]
 
+        warp_method = self.cfg.get("warp_mode", "shear")
+
         def warp_one(fm, pose):  # fm [H, W, C], pose [4, 4]
-            return jnp.moveaxis(
-                warp_bev(jnp.moveaxis(fm, -1, 0), pose, x_reso, y_reso, x_min, y_min),
-                0, -1,
+            return warp_bev(
+                fm, pose, x_reso, y_reso, x_min, y_min, method=warp_method
             )
 
         warped_rest = jax.vmap(jax.vmap(warp_one))(
@@ -253,21 +254,45 @@ class MotionNet(nn.Module):
                 batch["inst_motion_gt"].shape,
             )
 
+        # ---- FG-subset gather: the reconstruction path only touches
+        # rec_mask points (the reference processes just the selected FG
+        # subset — alignnet.py:198-206). Gathering them into a static
+        # capacity before the per-point ungrids + TPointNet cuts the
+        # dominant profiled cost (alignnet over all N padded points).
+        s_cap = self.cfg["capacity"].get("max_fg_points", 0) or n
+        if s_cap < n:
+            _, sel = jax.lax.top_k(rec_mask.astype(jnp.float32), s_cap)  # [B,S]
+            sel_valid = jnp.take_along_axis(rec_mask, sel, axis=1)
+
+            def g2(arr):
+                return jnp.take_along_axis(arr, sel, axis=1)
+
+            def g3(arr):
+                return jnp.take_along_axis(arr, sel[..., None], axis=1)
+
+            r_points, r_tid = g3(transformed_points), g2(time_idx)
+            r_inst, r_mask = g2(inst_labels), sel_valid
+            r_sd = g2(batch["sd_labels"])
+        else:
+            sel = None
+            r_points, r_tid = transformed_points, time_idx
+            r_inst, r_mask, r_sd = inst_labels, rec_mask, batch["sd_labels"]
+
         # the reference detaches bev_feats before both warping and the
         # per-point backbone lookup (motionnet.py:206,244)
         backbone_pp = jax.vmap(
             lambda fm, pts, tid: temporal_ungrid(fm, pts[:, :2], tid, self.pc_range[0])
-        )(bev_detached, points, time_idx)  # [B, N, C]
+        )(bev_detached, r_points, r_tid)  # [B, S, C]
         mos_pp = jax.vmap(
-            lambda fm, pts: ungrid(jnp.moveaxis(fm, -1, 0), pts[:, :2], self.pc_range[0])
-        )(mos_map, transformed_points)  # [B, N, 64]
+            lambda fm, pts: ungrid(fm, pts[:, :2], self.pc_range[0])
+        )(mos_map, r_points)  # [B, S, 64]
 
         rec = self.reconstructor(
-            transformed_points,
-            time_idx,
-            inst_labels,
-            rec_mask,
-            batch["sd_labels"],
+            r_points,
+            r_tid,
+            r_inst,
+            r_mask,
+            r_sd,
             backbone_pp,
             mos_pp,
             inst_motion_gt,
@@ -276,7 +301,7 @@ class MotionNet(nn.Module):
             train=train,
         )
 
-        rec_gate = jnp.sum(rec_mask) > MIN_POINTS
+        rec_gate = jnp.sum(r_mask) > MIN_POINTS
         results["tpointnet_loss_terms"] = jax.tree.map(
             lambda x: jnp.where(rec_gate, x, 0.0),
             rec["tpointnet_loss_terms"],
@@ -286,9 +311,22 @@ class MotionNet(nn.Module):
             rec_gate, rec["dynamic_inst_l2_error"], 0.0
         )
         results["inst_pose_est"] = rec["inst_pose_est"]
-        results["rec_est"] = jnp.where(
-            (rec_mask & rec_gate)[..., None], rec["sub_rec_est"], transformed_points
-        )
+        if sel is None:
+            results["rec_est"] = jnp.where(
+                (r_mask & rec_gate)[..., None], rec["sub_rec_est"],
+                transformed_points,
+            )
+        else:
+            # scatter the reconstructed subset back; invalid slots are
+            # redirected out of range and dropped
+            scatter_idx = jnp.where(r_mask & rec_gate, sel, n)
+
+            def put(base, idx, sub):
+                return base.at[idx].set(sub, mode="drop")
+
+            results["rec_est"] = jax.vmap(put)(
+                transformed_points, scatter_idx, rec["sub_rec_est"]
+            )
         results["rec_mask"] = rec_mask
         results["fb_mask"] = fb_mask
         return results

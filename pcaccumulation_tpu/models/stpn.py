@@ -56,9 +56,7 @@ class STPN(nn.Module):
 
         # per-point decoding (stpn.py:91-99)
         ungridded = jax.vmap(
-            lambda fm, pts: ungrid(
-                jnp.moveaxis(fm, -1, 0), pts[:, :2], pc_range_min, "border"
-            )
+            lambda fm, pts: ungrid(fm, pts[:, :2], pc_range_min, "border")
         )(x, points)  # [B, N, 64]
 
         pos = MLP([32, 64], final_act=True, name="positional_encoding")(

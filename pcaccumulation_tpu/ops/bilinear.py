@@ -21,15 +21,21 @@ def bilinear_sample(
     v: jnp.ndarray,
     padding_mode: str = "zeros",
 ) -> jnp.ndarray:
-    """Sample img [C, H, W] at normalised coords u (x), v (y) of shape [N].
+    """Sample img [H, W, C] at normalised coords u (x), v (y) of shape [N].
 
     Matches torch.nn.functional.grid_sample semantics with
     align_corners=False and mode='bilinear'. padding_mode in
     {'zeros', 'border'}.
 
+    Layout note: the image is HWC and the four corner lookups gather whole
+    [C] rows from a flat [H*W, C] view — contiguous rows are the only
+    gather pattern XLA lowers efficiently on TPU (the previous CHW
+    column gather was ~10x slower, round-2 profile).
+
     Returns [N, C].
     """
-    c, h, w = img.shape
+    h, w, c = img.shape
+    flat = img.reshape(h * w, c)
     # to continuous pixel coords (align_corners=False)
     x = (u + 1.0) * (w * 0.5) - 0.5
     y = (v + 1.0) * (h * 0.5) - 0.5
@@ -43,15 +49,14 @@ def bilinear_sample(
     y0i = y0.astype(jnp.int32)
 
     def gather(yi, xi):
-        if padding_mode == "border":
-            yc = jnp.clip(yi, 0, h - 1)
-            xc = jnp.clip(xi, 0, w - 1)
-            return img[:, yc, xc]  # [C, N]
-        # zeros padding: clamp for the gather, zero the weight
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
-        return img[:, yc, xc] * valid.astype(img.dtype)
+        rows = flat[yc * w + xc]  # [N, C]
+        if padding_mode == "border":
+            return rows
+        # zeros padding: clamp for the gather, zero the weight
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        return rows * valid[:, None].astype(img.dtype)
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x0i + 1)
@@ -63,8 +68,12 @@ def bilinear_sample(
     w10 = ty * (1 - tx)
     w11 = ty * tx
 
-    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11  # [C, N]
-    return out.T
+    return (
+        v00 * w00[:, None]
+        + v01 * w01[:, None]
+        + v10 * w10[:, None]
+        + v11 * w11[:, None]
+    )  # [N, C]
 
 
 def ungrid(
@@ -75,7 +84,7 @@ def ungrid(
 ) -> jnp.ndarray:
     """Per-point bilinear feature lookup from a BEV map.
 
-    feats [C, H, W]; points_xy [N, 2] in metres. Mirrors
+    feats [H, W, C]; points_xy [N, 2] in metres. Mirrors
     pillar_encoder.py:231-267: u = x / |pc_range_min|, v = y / |pc_range_min|
     (border padding), without the reference's pad-to-grid reshape trick.
     """
@@ -129,6 +138,52 @@ def temporal_ungrid(
     )
 
 
+def _pixel_affine(pose, x_reso, y_reso, x_min, y_min, h, w, dtype):
+    """Pixel-space affine (A, b) of the source-coordinate map: for output
+    pixel (i=row, j=col), source pixel = A @ [j, i] + b. Derived
+    numerically from the world-coordinate chain used by the gather path,
+    so both paths share one definition of the warp."""
+    pose_inv = jnp.linalg.inv(pose)
+
+    def src_pix(jd, id_):
+        gx = (jd + 0.5) * x_reso + x_min
+        gy = (id_ + 0.5) * y_reso + y_min
+        tx = pose_inv[0, 0] * gx + pose_inv[0, 1] * gy + pose_inv[0, 3]
+        ty = pose_inv[1, 0] * gx + pose_inv[1, 1] * gy + pose_inv[1, 3]
+        u = tx / abs(x_min)
+        v = ty / abs(y_min)
+        xs = (u + 1.0) * (w * 0.5) - 0.5
+        ys = (v + 1.0) * (h * 0.5) - 0.5
+        return jnp.stack([xs, ys])
+
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    p00 = src_pix(zero, zero)
+    pj = src_pix(one, zero)
+    pi = src_pix(zero, one)
+    a_mat = jnp.stack([pj - p00, pi - p00], axis=1)  # [[dx/dj, dx/di], [dy/dj, dy/di]]
+    return a_mat, p00
+
+
+def _row_shift_sample(img, shifts):
+    """out[r, j] = img[r, j + shifts[r]] with linear interp, zeros outside.
+
+    img [R, W, C]; shifts [R] float. Implemented as one vmapped
+    dynamic_slice of a padded row (a gather of large contiguous [W+1, C]
+    slices — the only gather pattern that runs at full speed on TPU)
+    plus a two-tap lerp."""
+    r, w, c = img.shape
+    k = jnp.floor(shifts)
+    f = (shifts - k)[:, None, None].astype(img.dtype)
+    pad = w  # covers |shift| <= W, i.e. |rotation| <= 90 deg
+    ki = jnp.clip(k.astype(jnp.int32), -pad, pad)
+    padded = jnp.pad(img, ((0, 0), (pad, pad + 1), (0, 0)))
+    sl = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s + pad, 0), (w + 1, c))
+    )(padded, ki)  # [R, W+1, C]
+    return sl[:, :w] * (1.0 - f) + sl[:, 1:] * f
+
+
 def warp_bev(
     feats: jnp.ndarray,
     pose: jnp.ndarray,
@@ -136,28 +191,60 @@ def warp_bev(
     y_reso: float,
     x_min: float,
     y_min: float,
+    method: str = "shear",
 ) -> jnp.ndarray:
     """Warp one BEV feature map by the *inverse* of an SE(3) pose.
 
-    feats [C, H, W]; pose [4, 4] (frame -> anchor). Mirrors
+    feats [H, W, C]; pose [4, 4] (frame -> anchor). Mirrors
     MotionNet.get_transformed_grid + grid_sample (motionnet.py:45-114):
     each output pixel centre is mapped through inv(pose)'s xy block and the
     source is sampled bilinearly with zero padding.
+
+    method:
+      'gather' — exact per-pixel bilinear gather (grid_sample parity);
+        ~12 ms per [4,288,288,32] warp on v5e because TPU per-row gather
+        is slow (round-2 profile).
+      'shear' (default) — three-pass shear decomposition
+        R(phi) = Sx(-tan(phi/2)) @ Sy(sin phi) @ Sx(-tan(phi/2)); each
+        pass is a per-row constant shift = one vmapped dynamic_slice +
+        lerp, which TPU executes at full bandwidth. Exact for the rigid
+        (z-rotation + translation) maps ego warping produces, up to the
+        interpolation kernel (three 1-D lerps vs one 2-D bilerp); the
+        residual non-rotation part of the 2x2 block (sub-degree ego
+        pitch/roll) is dropped — sub-0.1-pixel at the grid edge.
     """
-    c, h, w = feats.shape
-    pose_inv = jnp.linalg.inv(pose)
+    h, w, c = feats.shape
+    if method == "gather":
+        pose_inv = jnp.linalg.inv(pose)
+        xs = (jnp.arange(w, dtype=feats.dtype) + 0.5) * x_reso + x_min
+        ys = (jnp.arange(h, dtype=feats.dtype) + 0.5) * y_reso + y_min
+        gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+        tx = pose_inv[0, 0] * gx + pose_inv[0, 1] * gy + pose_inv[0, 3]
+        ty = pose_inv[1, 0] * gx + pose_inv[1, 1] * gy + pose_inv[1, 3]
+        u = (tx / abs(x_min)).reshape(-1)
+        v = (ty / abs(y_min)).reshape(-1)
+        sampled = bilinear_sample(feats, u, v, padding_mode="zeros")
+        return sampled.reshape(h, w, c)
 
-    xs = (jnp.arange(w, dtype=feats.dtype) + 0.5) * x_reso + x_min  # world x
-    ys = (jnp.arange(h, dtype=feats.dtype) + 0.5) * y_reso + y_min  # world y
-    gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+    a_mat, b_vec = _pixel_affine(
+        pose, x_reso, y_reso, x_min, y_min, h, w, feats.dtype
+    )
+    # nearest rotation angle of the 2x2 block (polar projection)
+    phi = jnp.arctan2(a_mat[1, 0] - a_mat[0, 1], a_mat[0, 0] + a_mat[1, 1])
+    alpha = -jnp.tan(phi / 2.0)
+    beta = jnp.sin(phi)
+    tx_p, ty_p = b_vec[0], b_vec[1]
 
-    tx = pose_inv[0, 0] * gx + pose_inv[0, 1] * gy + pose_inv[0, 3]
-    ty = pose_inv[1, 0] * gx + pose_inv[1, 1] * gy + pose_inv[1, 3]
-
-    u = (tx / abs(x_min)).reshape(-1)
-    v = (ty / abs(y_min)).reshape(-1)
-    sampled = bilinear_sample(feats, u, v, padding_mode="zeros")  # [H*W, C]
-    return sampled.T.reshape(c, h, w)
+    i_idx = jnp.arange(h, dtype=feats.dtype)
+    j_idx = jnp.arange(w, dtype=feats.dtype)
+    # pass 1 (innermost map): x += alpha*i + (tx - alpha*ty)
+    out = _row_shift_sample(feats, alpha * i_idx + tx_p - alpha * ty_p)
+    # pass 2: y += beta*j + ty  (row op on the transposed image)
+    out = jnp.swapaxes(out, 0, 1)  # [W, H, C], rows indexed by j
+    out = _row_shift_sample(out, beta * j_idx + ty_p)
+    out = jnp.swapaxes(out, 0, 1)
+    # pass 3: x += alpha*i
+    return _row_shift_sample(out, alpha * i_idx)
 
 
 def scatter_bev(

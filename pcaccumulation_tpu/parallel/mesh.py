@@ -41,3 +41,37 @@ def shard_batch(batch: dict, mesh: Mesh):
     """Shard every batch leaf on its leading (batch) axis."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ----------------------------------------------------------------- multi-host
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Initialise the JAX distributed runtime for multi-host training.
+
+    On TPU pods the arguments auto-detect from the environment
+    (jax.distributed.initialize() with no args); pass them explicitly for
+    CPU/GPU clusters. No-op when already initialised or single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process run — nothing to initialise
+
+
+def global_batch_from_host_local(batch: dict, mesh: Mesh):
+    """Assemble globally-sharded device arrays from each host's local
+    batch shard — the multi-host DCN input path (each host loads only its
+    slice of the file list, see make_loader(process_id=...)). Falls back
+    to plain shard_batch in single-process runs."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )

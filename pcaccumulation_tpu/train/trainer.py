@@ -182,9 +182,13 @@ class Trainer:
         for it, batch in enumerate(loader):
             jbatch = jax.tree.map(jnp.asarray, batch)
             if self.mesh is not None:
-                from pcaccumulation_tpu.parallel.mesh import shard_batch
+                from pcaccumulation_tpu.parallel.mesh import (
+                    global_batch_from_host_local,
+                )
 
-                jbatch = shard_batch(jbatch, self.mesh)
+                # single-process: plain device_put sharding; multi-host:
+                # assemble the global array from this host's local shard
+                jbatch = global_batch_from_host_local(jbatch, self.mesh)
             rng = jax.random.fold_in(base_rng, it)
             if phase == "train":
                 self.params, self.batch_stats, self.opt_state, stats = (

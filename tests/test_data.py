@@ -195,3 +195,28 @@ def test_loader_worker_failure_propagates(tmp_path):
     loader = make_loader(BadDataset(), batch_size=2, num_workers=2, seed=0)
     with pytest.raises(RuntimeError, match="worker failed"):
         list(loader)
+
+
+def test_loader_process_sharding():
+    """Multi-host input sharding: same-seed processes draw disjoint,
+    equally-sized batch slices covering (almost) the full epoch."""
+
+    class Dummy:
+        def __len__(self):
+            return 21
+
+        def __getitem__(self, i):
+            return {"x": np.array([i])}
+
+    loaders = [
+        make_loader(Dummy(), batch_size=2, num_workers=0, seed=7,
+                    process_id=p, process_count=3)
+        for p in range(3)
+    ]
+    assert all(len(ld) == len(loaders[0]) for ld in loaders)
+    seen = []
+    for ld in loaders:
+        for batch in ld:
+            seen.extend(batch["x"][:, 0].tolist())
+    assert len(seen) == len(set(seen))  # disjoint
+    assert len(seen) == 3 * len(loaders[0]) * 2

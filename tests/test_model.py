@@ -192,3 +192,46 @@ def test_forward_with_icp_enabled():
         for k in np.unique(labels[b]):
             if k > 0:
                 np.testing.assert_allclose(det_i[b, k], 1.0, atol=1e-3)
+
+
+def test_fg_subset_gather_matches_full_path():
+    """capacity.max_fg_points gathers rec_mask points before the
+    reconstruction path; with no overflow the outputs must match the
+    full-N path."""
+    cfg_full = tiny_cfg()
+    cfg_full["capacity"]["max_fg_points"] = 0  # disabled -> all points
+    batch = tiny_batch(cfg_full)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+
+    cfg_sub = tiny_cfg()
+    cfg_sub["capacity"]["max_fg_points"] = 2048  # >= #FG points here
+
+    out = {}
+    variables = None
+    for name, cfg in (("full", cfg_full), ("sub", cfg_sub)):
+        model = MotionNet(cfg)
+        if variables is None:
+            init_fn = jax.jit(
+                lambda rngs, b: model.init(rngs, b, train=False, mode="val")
+            )
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+            )
+        out[name] = model.apply(
+            variables, jbatch, train=False, mode="val",
+            rngs={"sample": jax.random.key(2)},
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["full"]["rec_est"]), np.asarray(out["sub"]["rec_est"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(out["full"]["inst_l2_error"]), float(out["sub"]["inst_l2_error"]),
+        atol=1e-5,
+    )
+    for k in ("l1_loss", "rot_loss"):
+        np.testing.assert_allclose(
+            float(out["full"]["tpointnet_loss_terms"]["0_th"][k]),
+            float(out["sub"]["tpointnet_loss_terms"]["0_th"][k]),
+            atol=1e-5,
+        )

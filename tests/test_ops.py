@@ -83,7 +83,7 @@ def test_bilinear_sample_matches_torch_grid_sample(rng):
 
     for mode in ("zeros", "border"):
         ours = np.asarray(
-            bilinear.bilinear_sample(jnp.asarray(img), jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]), padding_mode=mode)
+            bilinear.bilinear_sample(jnp.asarray(img).transpose(1, 2, 0), jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]), padding_mode=mode)
         )
         grid = torch.tensor(uv).view(1, 1, n, 2)
         ref = F.grid_sample(
@@ -96,8 +96,10 @@ def test_warp_bev_identity(rng):
     c, h, w = 2, 8, 8
     img = rng.normal(size=(c, h, w)).astype(np.float32)
     pose = jnp.eye(4)
-    out = np.asarray(bilinear.warp_bev(jnp.asarray(img), pose, 1.0, 1.0, -4.0, -4.0))
-    np.testing.assert_allclose(out, img, atol=1e-5)
+    out = np.asarray(bilinear.warp_bev(
+        jnp.asarray(img).transpose(1, 2, 0), pose, 1.0, 1.0, -4.0, -4.0,
+        method="gather"))
+    np.testing.assert_allclose(out, img.transpose(1, 2, 0), atol=1e-5)
 
 
 def test_warp_bev_matches_torch(rng):
@@ -111,7 +113,9 @@ def test_warp_bev_matches_torch(rng):
     pose[:2, :2] = [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
     pose[0, 3] = 0.7
 
-    ours = np.asarray(bilinear.warp_bev(jnp.asarray(img), jnp.asarray(pose), x_reso, y_reso, x_min, y_min))
+    ours = np.asarray(bilinear.warp_bev(
+        jnp.asarray(img).transpose(1, 2, 0), jnp.asarray(pose), x_reso, y_reso,
+        x_min, y_min, method="gather")).transpose(2, 0, 1)
 
     # reference: motionnet.py:45-114
     pose_inv = torch.linalg.inv(torch.tensor(pose))
@@ -182,3 +186,44 @@ def test_lovasz_mask_equals_subset(rng):
     ours = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels), jnp.asarray(valid)))
     ref = float(_torch_lovasz(torch.tensor(probas[valid]), torch.tensor(labels[valid])))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_warp_bev_shear_matches_gather(rng):
+    """The 3-pass shear warp must agree with the exact bilinear gather for
+    rigid z-rotation + translation poses away from the border band swept
+    by the shears (the zero padding propagates through 3 passes, so the
+    contaminated band is wider than the gather path's by design)."""
+    h = w = 96
+    # smooth image: low-frequency sinusoids
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([
+        np.sin(xx / 9.0) + np.cos(yy / 7.0),
+        np.cos(xx / 5.0) * np.sin(yy / 11.0),
+        (xx + yy) / (h + w),
+    ], axis=-1).astype(np.float32)
+
+    for theta, t in ((0.0, [0.0, 0.0]), (0.15, [0.6, -0.4]), (-0.3, [1.3, 0.8])):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:2, :2] = [[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]]
+        pose[:2, 3] = t
+        args = (jnp.asarray(img), jnp.asarray(pose), 0.25, 0.25, -12.0, -12.0)
+        exact = np.asarray(bilinear.warp_bev(*args, method="gather"))
+        fast = np.asarray(bilinear.warp_bev(*args, method="shear"))
+        # margins = maximum shear sweep + translation in pixels
+        alpha = abs(np.tan(theta / 2.0))
+        beta = abs(np.sin(theta))
+        t_pix = np.abs(t) / 0.25
+        mx = int(np.ceil(alpha * h + t_pix[0])) + 3
+        my = int(np.ceil(beta * w + t_pix[1])) + 3
+        interior = (slice(my, h - my), slice(mx, w - mx))
+        diff = np.abs(fast[interior] - exact[interior])
+        assert np.mean(diff) < 8e-3, (theta, np.mean(diff))
+        assert np.max(diff) < 0.06, (theta, np.max(diff))
+
+
+def test_warp_bev_shear_identity(rng):
+    img = rng.normal(size=(16, 16, 4)).astype(np.float32)
+    out = np.asarray(bilinear.warp_bev(
+        jnp.asarray(img), jnp.eye(4), 1.0, 1.0, -8.0, -8.0, method="shear"))
+    np.testing.assert_allclose(out, img, atol=1e-5)
