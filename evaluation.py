@@ -17,7 +17,6 @@ from glob import glob
 
 import numpy as np
 
-from pcaccumulation_tpu.train.metrics import init_stats_meter, update_stats_meter
 from pcaccumulation_tpu.train.sf_metrics import compute_sf_metrics
 
 SAMPLE_FREQ = {"waymo": 4, "nuscene": 1, "synthetic": 1}
@@ -55,7 +54,7 @@ def collect_results(target_folder: str, save_dir: str, dataset: str):
             m[f"{t}-th frame"] = compute_sf_metrics(epe[s], rel[s])
 
         if stats_meter is None:
-            stats_meter = init_stats_meter(m)
+            stats_meter = {}
         update_stats_meter_listaware(stats_meter, m)
 
         scene_stats[os.path.basename(os.path.dirname(path))] = m
@@ -74,8 +73,18 @@ def collect_results(target_folder: str, save_dir: str, dataset: str):
 
 
 def update_stats_meter_listaware(meter, stats):
-    """The sf metric dicts carry [value, count] pairs (weighted means)."""
+    """The sf metric dicts carry [value, count] pairs (weighted means).
+
+    Categories can differ per scene (e.g. a scene with no static-FG
+    points, or fewer frames): missing sub-meters are created on the fly
+    instead of KeyError-ing."""
+    from pcaccumulation_tpu.train.metrics import AverageMeter
+
     for k, v in stats.items():
+        if k not in meter:
+            # [value, count] pairs are weighted scalars, NOT arrays —
+            # init_stats_meter would build a 2-element array meter
+            meter[k] = {} if isinstance(v, dict) else AverageMeter()
         if isinstance(v, dict):
             update_stats_meter_listaware(meter[k], v)
         elif isinstance(v, list):
@@ -99,10 +108,10 @@ def main(argv):
             return
         m = meter[cat]
         print(
-            round(m["EPE3D"].avg, 3),
-            round(m["Acc3DS"].avg * 100, 1),
-            round(m["Acc3DR"].avg * 100, 1),
-            round(m["ROutlier"].avg * 100, 1),
+            round(float(m["EPE3D"].avg), 3),
+            round(float(m["Acc3DS"].avg) * 100, 1),
+            round(float(m["Acc3DR"].avg) * 100, 1),
+            round(float(m["ROutlier"].avg) * 100, 1),
         )
 
     print("Results on the static BG part")
@@ -115,11 +124,11 @@ def main(argv):
     dyn = compute_sf_metrics(epe_dyn, rel_dyn)
     print("Results on the dynamic part")
     print(
-        round(dyn["EPE3D"][0], 3),
-        round(dyn["EPE3D_med"], 3),
-        round(dyn["Acc3DS"][0] * 100, 1),
-        round(dyn["Acc3DR"][0] * 100, 1),
-        round(dyn["ROutlier"][0] * 100, 1),
+        round(float(dyn["EPE3D"][0]), 3),
+        round(float(dyn["EPE3D_med"]), 3),
+        round(float(dyn["Acc3DS"][0]) * 100, 1),
+        round(float(dyn["Acc3DR"][0]) * 100, 1),
+        round(float(dyn["ROutlier"][0]) * 100, 1),
     )
     return 0
 
