@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -227,3 +228,39 @@ def test_warp_bev_shear_identity(rng):
     out = np.asarray(bilinear.warp_bev(
         jnp.asarray(img), jnp.eye(4), 1.0, 1.0, -8.0, -8.0, method="shear"))
     np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_row_shift_pallas_matches_xla(rng):
+    """The Pallas row-shift kernel (interpret mode on CPU) must match the
+    XLA fallback bit-for-bit, including OOB zeroing and the fractional
+    lerp."""
+    from pcaccumulation_tpu.ops.bilinear import _row_shift_pallas, _row_shift_xla
+
+    r, w, c = 16, 32, 8
+    img = jnp.asarray(rng.normal(size=(r, w, c)).astype(np.float32))
+    shifts = jnp.asarray(
+        (rng.random(r).astype(np.float32) - 0.5) * 2.5 * w
+    )  # includes |shift| > W/2 and fractional parts
+    k = jnp.floor(shifts)
+    f = (shifts - k).astype(img.dtype)
+    ki = jnp.clip(k.astype(jnp.int32), -w, w)
+    ours = np.asarray(_row_shift_pallas(img, ki, f, interpret=True))
+    ref = np.asarray(_row_shift_xla(img, ki, f))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_row_shift_vjp_transpose(rng):
+    """custom_vjp: d_img equals the true linear transpose (checked against
+    numerical JVP contraction identity <S(x), g> = <x, S^T(g)>)."""
+    from pcaccumulation_tpu.ops.bilinear import _row_shift_sample
+
+    r, w, c = 6, 12, 3
+    x = jnp.asarray(rng.normal(size=(r, w, c)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(r, w, c)).astype(np.float32))
+    shifts = jnp.asarray((rng.random(r).astype(np.float32) - 0.5) * 6)
+
+    y, vjp = jax.vjp(lambda im: _row_shift_sample(im, shifts), x)
+    (dx,) = vjp(g)
+    lhs = float(jnp.sum(y * g))
+    rhs = float(jnp.sum(x * dx))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)

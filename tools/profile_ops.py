@@ -45,7 +45,13 @@ def main():
     p2v = jax.random.randint(ks[6], (b, n), 0, m)
     pt_valid = jnp.ones((b, n), bool)
     canvas = jax.random.normal(ks[7], (b, t, h, w, c))
-    pose = jnp.broadcast_to(jnp.eye(4), (b, t - 1, 4, 4))
+    # non-trivial rotation+translation: identity poses let XLA constant-
+    # fold the shear shifts and the warp measures as free
+    th = 0.08
+    rot = jnp.array([[jnp.cos(th), -jnp.sin(th), 0, 0.7],
+                     [jnp.sin(th), jnp.cos(th), 0, -0.4],
+                     [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+    pose = jnp.broadcast_to(rot, (b, t - 1, 4, 4))
     rec_mask = jax.random.uniform(ks[8], (b, n)) < 0.2
 
     def bench(name, fn, *args):
