@@ -165,45 +165,58 @@ def _pixel_affine(pose, x_reso, y_reso, x_min, y_min, h, w, dtype):
     return a_mat, p00
 
 
-def _row_shift_pallas(img, ki, f, interpret: bool = False):
+def _row_shift_pallas(img, ki, f, interpret: bool = False, block_rows: int = 8):
     """Pallas TPU row shift: out[r, j] = lerp(img[r, j+k_r], img[r, j+k_r+1]).
 
-    One grid step per row: the row block is DMA'd into VMEM, written into
-    the middle of a zero scratch band, and the shifted window is read with
-    a scalar-prefetched dynamic slice — no gather op anywhere, so it runs
-    at DMA bandwidth instead of TPU gather speed.
+    block_rows rows per grid step: the row block is DMA'd into VMEM,
+    written into the middle of a zero scratch band, and each row's shifted
+    window is read with a scalar-prefetched dynamic slice — no gather op
+    anywhere, so it runs at DMA bandwidth instead of TPU gather speed.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    r, w, c = img.shape
+    r0, w, c = img.shape
+    rb = block_rows
+    pad_r = (-r0) % rb
+    if pad_r:
+        img = jnp.pad(img, ((0, pad_r), (0, 0), (0, 0)))
+        ki = jnp.pad(ki, (0, pad_r))
+        f = jnp.pad(f, (0, pad_r))
+    r = r0 + pad_r
 
-    def kernel(k_ref, f_ref, row_ref, out_ref, scratch):
+    def kernel(k_ref, f_ref, rows_ref, out_ref, scratch):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _init():
             scratch[...] = jnp.zeros_like(scratch)
 
-        scratch[0, w:2 * w, :] = row_ref[0]
-        k = k_ref[step]
-        fr = f_ref[step].astype(row_ref.dtype)
-        sl = scratch[0, pl.ds(w + k, w + 1), :]
-        out_ref[0] = sl[:w] * (1.0 - fr) + sl[1:] * fr
+        scratch[:, w:2 * w, :] = rows_ref[...]
+
+        def body(i, _):
+            k = k_ref[step * rb + i]
+            fr = f_ref[step * rb + i].astype(rows_ref.dtype)
+            sl = scratch[i, pl.ds(w + k, w + 1), :]
+            out_ref[i, :, :] = sl[:w] * (1.0 - fr) + sl[1:] * fr
+            return 0
+
+        jax.lax.fori_loop(0, rb, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(r,),
-        in_specs=[pl.BlockSpec((1, w, c), lambda i, *_: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, w, c), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((1, 3 * w + 1, c), img.dtype)],
+        grid=(r // rb,),
+        in_specs=[pl.BlockSpec((rb, w, c), lambda i, *_: (i, 0, 0))],
+        out_specs=pl.BlockSpec((rb, w, c), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rb, 3 * w + 1, c), img.dtype)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, w, c), img.dtype),
         interpret=interpret,
     )(ki, f, img)
+    return out[:r0]
 
 
 def _row_shift_xla(img, ki, f):
