@@ -40,6 +40,9 @@ def bench_cfg(batch_size: int = 1):
     cfg["capacity"] = {"max_points": 60000, "max_pillars": 25000,
                        "max_instances": 32, "max_fg_points": 16384}
     cfg["tpointnet"]["n_iterations"] = 2
+    # bf16 conv backbone: +4.5% seq/s; checkpoint-val drift measured
+    # negligible (mos_iou/fb_iou identical, ego rot 0.293 -> 0.297 deg)
+    cfg["precision"]["compute_dtype"] = "bfloat16"
     cfg["cluster"]["max_cluster_points"] = 8192
     return derive(cfg)
 
