@@ -82,6 +82,15 @@ def prep_sample(
         cap["max_pillars"],
     )
 
+    # 5. sort points by pillar id (stable). Point order is arbitrary to
+    # the model (everything is masked segment ops), but sorted pillar ids
+    # let the device use indices_are_sorted=True segment reductions —
+    # measured ~2x faster on TPU. Invalid/overflow ids sort last.
+    order = np.argsort(pillar_of_point, kind="stable")
+    points, time_idx = points[order], time_idx[order]
+    sd, fb, inst, sem = sd[order], fb[order], inst[order], sem[order]
+    pillar_of_point, in_range = pillar_of_point[order], in_range[order]
+
     sample = {
         "points": points,
         "time_idx": time_idx,

@@ -340,12 +340,13 @@ def scatter_bev(
 
     flat_idx [M] int32 (t*H*W + y*W + x); invalid pillars are masked.
     Replaces scatter_point_pillar's per-batch Python loop
-    (pillar_encoder.py:125-174) with one XLA scatter.
+    (pillar_encoder.py:125-174) with one XLA scatter. Valid indices must
+    be unique (the voxelizer dedups coords) — invalid ones are redirected
+    out of range and dropped, unlocking the fast unique-scatter path.
     """
-    idx = jnp.where(valid, flat_idx, canvas_size)  # overflow slot
-    canvas = jnp.zeros((canvas_size + 1, pillar_feats.shape[-1]), pillar_feats.dtype)
-    canvas = canvas.at[idx].set(pillar_feats)
-    return canvas[:canvas_size]
+    idx = jnp.where(valid, flat_idx, canvas_size)  # out of range -> dropped
+    canvas = jnp.zeros((canvas_size, pillar_feats.shape[-1]), pillar_feats.dtype)
+    return canvas.at[idx].set(pillar_feats, mode="drop", unique_indices=True)
 
 
 def gather_bev(

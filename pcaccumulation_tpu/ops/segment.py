@@ -41,27 +41,39 @@ def segment_min(data, segment_ids, num_segments: int, fill_value: float = 0.0):
     return jnp.where(jnp.isfinite(out), out, fill_value)
 
 
-def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: float = 0.0):
-    """Segment max where invalid rows contribute nothing."""
+def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: float = 0.0,
+                       indices_are_sorted: bool = False):
+    """Segment max where invalid rows contribute nothing.
+
+    Set indices_are_sorted=True when segment_ids are non-decreasing (the
+    data layer sorts points by pillar id — ~2x faster scatter on TPU)."""
     masked = jnp.where(valid.reshape((-1,) + (1,) * (data.ndim - 1)), data, _NEG_INF)
-    out = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments)
+    out = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
     return jnp.where(out <= _NEG_INF * 0.5, fill_value, out)
 
 
-def masked_segment_sum(data, segment_ids, valid, num_segments: int):
+def masked_segment_sum(data, segment_ids, valid, num_segments: int,
+                       indices_are_sorted: bool = False):
     masked = data * valid.reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)
-    return jax.ops.segment_sum(masked, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(masked, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
-def masked_segment_mean(data, segment_ids, valid, num_segments: int, eps: float = 1e-12):
-    total = masked_segment_sum(data, segment_ids, valid, num_segments)
+def masked_segment_mean(data, segment_ids, valid, num_segments: int, eps: float = 1e-12,
+                        indices_are_sorted: bool = False):
+    total = masked_segment_sum(data, segment_ids, valid, num_segments,
+                               indices_are_sorted=indices_are_sorted)
     count = jax.ops.segment_sum(
-        valid.astype(data.dtype), segment_ids, num_segments=num_segments
+        valid.astype(data.dtype), segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
     )
     return total / jnp.maximum(count, eps).reshape((num_segments,) + (1,) * (data.ndim - 1))
 
 
-def segment_count(segment_ids, valid, num_segments: int):
+def segment_count(segment_ids, valid, num_segments: int,
+                  indices_are_sorted: bool = False):
     return jax.ops.segment_sum(
-        valid.astype(jnp.float32), segment_ids, num_segments=num_segments
+        valid.astype(jnp.float32), segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
     )
