@@ -111,19 +111,34 @@ def dbscan_labels(
     idx = jnp.arange(n, dtype=jnp.int32)
     labels = jnp.where(core, idx, _BIG)
 
-    def body(_, labels):
+    def jump(labels):
+        # pointer jumping: follow the representative's representative
+        jumped = labels[jnp.clip(labels, 0, n - 1)]
+        return jnp.where(core & (labels < _BIG), jnp.minimum(labels, jumped), labels)
+
+    def body(state):
+        i, labels, _ = state
         # min label over core neighbours (core-core propagation):
         # masking non-core labels to _BIG is equivalent to restricting the
         # adjacency columns to core points
         lab_core = jnp.where(core, labels, _BIG)
         _, neigh_min = _neighbour_pass(points, valid, lab_core, eps2, block)
-        labels = jnp.where(core, jnp.minimum(labels, neigh_min), labels)
-        # pointer jumping: follow the representative's representative
-        jumped = labels[jnp.clip(labels, 0, n - 1)]
-        labels = jnp.where(core & (labels < _BIG), jnp.minimum(labels, jumped), labels)
-        return labels
+        new = jnp.where(core, jnp.minimum(labels, neigh_min), labels)
+        # several cheap pointer jumps per expensive neighbour pass
+        for _ in range(3):
+            new = jump(new)
+        return i + 1, new, jnp.any(new != labels)
 
-    labels = jax.lax.fori_loop(0, n_iters, body, labels)
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < n_iters)
+
+    # converged fixpoint: identical result to always running n_iters
+    # passes, but typical scenes stop after a handful (each neighbour
+    # pass is the O(N^2 / block) hot part — test-mode profile)
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    )
 
     # border points: smallest core-neighbour label
     lab_core = jnp.where(core, labels, _BIG)
