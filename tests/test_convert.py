@@ -286,3 +286,30 @@ def build_reference_shaped_state_dict(cfg):
     bn("reconstructor.alignment.regressor.4", 128)
     lin("reconstructor.alignment.regressor.6", 128, 7)
     return sd
+
+
+def test_convert_ckpt_cli(tmp_path):
+    """tools/convert_ckpt.py: reference .pth dict -> loadable .ckpt."""
+    import sys
+
+    import torch
+
+    from pcaccumulation_tpu.config import load_config, derive
+    from pcaccumulation_tpu.utils.checkpoint import load_checkpoint
+
+    sys.path.insert(0, "tools")
+    import convert_ckpt
+
+    cfg = load_config()
+    cfg["voxel_generator"]["n_sweeps"] = 3
+    cfg = derive(cfg)
+    sd = build_reference_shaped_state_dict(cfg)
+    src = tmp_path / "ref.pth"
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()},
+                "epoch": 77, "best_metric": 0.87796}, str(src))
+    dst = tmp_path / "converted.ckpt"
+    assert convert_ckpt.main(["convert_ckpt", str(src), str(dst)]) == 0
+    state = load_checkpoint(str(dst))
+    assert state["epoch"] == 77
+    assert abs(state["best_metric"] - 0.87796) < 1e-9
+    assert "unet" in state["params"] and "semseg_head" in state["batch_stats"]
