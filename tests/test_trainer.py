@@ -122,3 +122,38 @@ def test_metrics_jsonl_written(trainer):
     rec = lines[-1]
     for key in ("step", "loss", "mos_iou", "fb_iou", "lr"):
         assert key in rec, key
+
+
+def test_resume_continues_lr_schedule(tmp_path):
+    """Resume restores the optimizer step count, so the step-driven LR
+    schedule continues from where it stopped instead of resetting to lr0."""
+    from test_model import tiny_cfg, tiny_batch
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg()
+    cfg["train"]["iter_size"] = 1
+    cfg["scheduler"]["exp_gamma"] = 0.5  # aggressive so the drop is visible
+    batches = [tiny_batch(cfg, seed=s) for s in (0, 1)]
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    loaders = {"train": FakeLoader(), "val": FakeLoader()}
+    model = MotionNet(cfg)
+    t1 = Trainer(cfg, model, loaders, save_dir=str(tmp_path / "a"))
+    lr0 = t1.current_lr()
+    t1.inference_one_epoch(1, "train")  # 2 updates = 1 epoch of schedule
+    lr_after = t1.current_lr()
+    assert lr_after == pytest.approx(lr0 * 0.5, rel=1e-5)
+    t1.snapshot(1, "latest")
+
+    cfg2 = dict(cfg)
+    cfg2["misc"] = dict(cfg["misc"], pretrain=str(tmp_path / "a" / "model_latest.ckpt"))
+    t2 = Trainer(cfg2, model, loaders, save_dir=str(tmp_path / "b"))
+    assert t2.start_epoch == 2
+    assert t2.current_lr() == pytest.approx(lr_after, rel=1e-5)
