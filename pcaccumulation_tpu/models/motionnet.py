@@ -182,6 +182,13 @@ class MotionNet(nn.Module):
         # ---- 5. warp + motion segmentation (motionnet.py:205-229) ----------
         pose_est = jax.lax.stop_gradient(results["ego_motion_est"])
         bev_detached = jax.lax.stop_gradient(bev_feats)
+        # warp + per-point gathers run on the detached maps in the compute
+        # dtype (halves the row-shift kernel's DMA traffic under bf16);
+        # results are cast back so heads/losses stay f32
+        bev_gather = (
+            bev_detached.astype(self.compute_dtype)
+            if self.compute_dtype is not None else bev_detached
+        )
 
         x_reso, y_reso = self.voxel_size[0], self.voxel_size[1]
         x_min, y_min = self.pc_range[0], self.pc_range[1]
@@ -194,9 +201,11 @@ class MotionNet(nn.Module):
             )
 
         warped_rest = jax.vmap(jax.vmap(warp_one))(
-            bev_detached[:, 1:], pose_est[:, 1:]
+            bev_gather[:, 1:], pose_est[:, 1:]
         )
-        warped = jnp.concatenate([bev_detached[:, :1], warped_rest], axis=1)
+        warped = jnp.concatenate(
+            [bev_gather[:, :1], warped_rest], axis=1
+        ).astype(jnp.float32)
 
         transformed_points = se3.ego_motion_compensation(points, time_idx, pose_est)
         results["transformed_points"] = transformed_points
@@ -280,9 +289,11 @@ class MotionNet(nn.Module):
 
         # the reference detaches bev_feats before both warping and the
         # per-point backbone lookup (motionnet.py:206,244)
+        # point coords stay f32 (bf16 would quantize sample positions to
+        # ~0.1 m); only the gathered feature rows are reduced precision
         backbone_pp = jax.vmap(
             lambda fm, pts, tid: temporal_ungrid(fm, pts[:, :2], tid, self.pc_range[0])
-        )(bev_detached, r_points, r_tid)  # [B, S, C]
+        )(bev_gather, r_points, r_tid).astype(jnp.float32)  # [B, S, C]
         mos_pp = jax.vmap(
             lambda fm, pts: ungrid(fm, pts[:, :2], self.pc_range[0])
         )(mos_map, r_points)  # [B, S, 64]

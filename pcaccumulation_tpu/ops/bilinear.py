@@ -192,13 +192,17 @@ def _row_shift_pallas(img, ki, f, interpret: bool = False, block_rows: int = 8):
         def _init():
             scratch[...] = jnp.zeros_like(scratch)
 
-        scratch[:, w:2 * w, :] = rows_ref[...]
+        # scratch stays f32: Mosaic cannot prove unaligned dynamic sublane
+        # slices for 16-sublane (bf16) tiles; HBM traffic keeps img.dtype
+        scratch[:, w:2 * w, :] = rows_ref[...].astype(scratch.dtype)
 
         def body(i, _):
             k = k_ref[step * rb + i]
-            fr = f_ref[step * rb + i].astype(rows_ref.dtype)
+            fr = f_ref[step * rb + i].astype(scratch.dtype)
             sl = scratch[i, pl.ds(w + k, w + 1), :]
-            out_ref[i, :, :] = sl[:w] * (1.0 - fr) + sl[1:] * fr
+            out_ref[i, :, :] = (sl[:w] * (1.0 - fr) + sl[1:] * fr).astype(
+                out_ref.dtype
+            )
             return 0
 
         jax.lax.fori_loop(0, rb, body, 0)
@@ -208,7 +212,7 @@ def _row_shift_pallas(img, ki, f, interpret: bool = False, block_rows: int = 8):
         grid=(r // rb,),
         in_specs=[pl.BlockSpec((rb, w, c), lambda i, *_: (i, 0, 0))],
         out_specs=pl.BlockSpec((rb, w, c), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((rb, 3 * w + 1, c), img.dtype)],
+        scratch_shapes=[pltpu.VMEM((rb, 3 * w + 1, c), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
@@ -298,9 +302,9 @@ def warp_bev(
     """
     h, w, c = feats.shape
     if method == "gather":
-        pose_inv = jnp.linalg.inv(pose)
-        xs = (jnp.arange(w, dtype=feats.dtype) + 0.5) * x_reso + x_min
-        ys = (jnp.arange(h, dtype=feats.dtype) + 0.5) * y_reso + y_min
+        pose_inv = jnp.linalg.inv(pose.astype(jnp.float32))
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * x_reso + x_min
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * y_reso + y_min
         gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
         tx = pose_inv[0, 0] * gx + pose_inv[0, 1] * gy + pose_inv[0, 3]
         ty = pose_inv[1, 0] * gx + pose_inv[1, 1] * gy + pose_inv[1, 3]
@@ -309,8 +313,11 @@ def warp_bev(
         sampled = bilinear_sample(feats, u, v, padding_mode="zeros")
         return sampled.reshape(h, w, c)
 
+    # pose/shift math always in f32: a bf16 matrix inverse would corrupt
+    # the shear coefficients even when the image data is bf16
     a_mat, b_vec = _pixel_affine(
-        pose, x_reso, y_reso, x_min, y_min, h, w, feats.dtype
+        pose.astype(jnp.float32), x_reso, y_reso, x_min, y_min, h, w,
+        jnp.float32,
     )
     # nearest rotation angle of the 2x2 block (polar projection)
     phi = jnp.arctan2(a_mat[1, 0] - a_mat[0, 1], a_mat[0, 0] + a_mat[1, 1])
