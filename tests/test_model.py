@@ -235,3 +235,28 @@ def test_fg_subset_gather_matches_full_path():
             float(out["sub"]["tpointnet_loss_terms"]["0_th"][k]),
             atol=1e-5,
         )
+
+
+def test_forward_bfloat16_backbone():
+    """compute_dtype=bfloat16 path (production TPU config): finite
+    outputs, f32 heads/losses, rigid ego poses."""
+    cfg = tiny_cfg()
+    cfg["precision"]["compute_dtype"] = "bfloat16"
+    batch = tiny_batch(cfg)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    model = MotionNet(cfg)
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+    )
+    results = model.apply(
+        variables, jbatch, train=False, mode="val",
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert results["mos_est"].dtype == jnp.float32
+    assert results["rec_est"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(results["rec_est"])).all()
+    for key in ("ego_l1_loss", "inst_l2_error"):
+        assert np.isfinite(float(results[key])), key
+    det = np.linalg.det(np.asarray(results["ego_motion_est"])[..., :3, :3])
+    np.testing.assert_allclose(det, 1.0, atol=1e-2)

@@ -129,15 +129,17 @@ def main():
             train=False),
         warped)
 
-    # alignnet (tpointnet x n_iterations)
-    bb_f = jax.random.normal(key, (b, n, cdim))
-    mos_f = jax.random.normal(key, (b, n, 64))
+    # alignnet (tpointnet x n_iterations) at the real gathered size
+    s_cap = min(cfg["capacity"].get("max_fg_points", n) or n, n)
+    bb_f = jax.random.normal(key, (b, s_cap, cdim))
+    mos_f = jax.random.normal(key, (b, s_cap, 64))
     inst_gt = jnp.broadcast_to(jnp.eye(4), (b, k, t, 4, 4))
-    sub("alignnet",
+    sub(f"alignnet[S={s_cap}]",
         lambda mdl, pts: mdl.reconstructor(
-            pts, jbatch["time_idx"], jbatch["inst_labels"],
-            jbatch["point_valid"], jbatch["sd_labels"], bb_f, mos_f,
-            inst_gt, gt, gt, train=False),
+            pts[:, :s_cap], jbatch["time_idx"][:, :s_cap],
+            jbatch["inst_labels"][:, :s_cap],
+            jbatch["point_valid"][:, :s_cap], jbatch["sd_labels"][:, :s_cap],
+            bb_f, mos_f, inst_gt, gt, gt, train=False),
         points)
 
     acc = sum(rows.values())
