@@ -44,6 +44,22 @@ def build_loaders(cfg):
     return loaders
 
 
+def snapshot_source(save_dir):
+    """Copy the framework source into the run dir for reproducibility
+    (reference main.py:43-47 copies libs/ + models/)."""
+    import shutil
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(save_dir, "src_snapshot")
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(
+        os.path.join(root, "pcaccumulation_tpu"),
+        os.path.join(dst, "pcaccumulation_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"),
+    )
+    shutil.copy2(os.path.join(root, "main.py"), dst)
+
+
 def main(argv):
     if len(argv) < 4:
         print(__doc__)
@@ -57,6 +73,7 @@ def main(argv):
     save_dir = os.path.join("snapshot", cfg["misc"]["exp_name"])
     os.makedirs(save_dir, exist_ok=True)
     save_config(cfg, os.path.join(save_dir, "config.json"))
+    snapshot_source(save_dir)
 
     model = MotionNet(cfg)
     loaders = build_loaders(cfg)
