@@ -260,3 +260,58 @@ def test_forward_bfloat16_backbone():
         assert np.isfinite(float(results[key])), key
     det = np.linalg.det(np.asarray(results["ego_motion_est"])[..., :3, :3])
     np.testing.assert_allclose(det, 1.0, atol=1e-2)
+
+
+@pytest.mark.parametrize("strategy", ["skip", "chain", "full"])
+def test_egomotion_strategies_recover_pose(strategy):
+    """All three sequence strategies (egomotion.py:195-357) recover known
+    ego poses when descriptors are pose-invariant and shared across
+    frames (the verify-skill synthetic registration scenario)."""
+    from scipy.spatial.transform import Rotation
+
+    from pcaccumulation_tpu.models.egomotion import EgoMotionHead
+    from pcaccumulation_tpu.ops import se3 as se3_ops
+
+    rng = np.random.default_rng(3)
+    t_frames, per, c = 3, 128, 32
+    base = (rng.random((per, 3)) * 20 - 10).astype(np.float32)
+    feats_shared = rng.normal(size=(per, c)).astype(np.float32)
+    feats_shared /= np.linalg.norm(feats_shared, axis=-1, keepdims=True)
+
+    poses = [np.eye(4, dtype=np.float32)]
+    for t in range(1, t_frames):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = Rotation.from_euler("z", 2.0 * t, degrees=True).as_matrix()
+        p[:3, 3] = [0.3 * t, -0.2 * t, 0.0]
+        poses.append(p)  # frame t sensor -> anchor
+
+    mean_list, t_list = [], []
+    for t in range(t_frames):
+        inv = np.linalg.inv(poses[t])
+        mean_list.append((base @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32))
+        t_list.append(np.full(per, t, np.int32))
+    pillar_mean = np.concatenate(mean_list)[None]
+    pillar_t = np.concatenate(t_list)[None]
+    pillar_feats = np.tile(feats_shared, (t_frames, 1))[None]
+    m = pillar_mean.shape[1]
+    valid = np.ones((1, m), bool)
+    gt = np.stack(poses)[None]
+    pts = np.zeros((1, 8, 3), np.float32)
+    tid = np.zeros((1, 8), np.int32)
+    pv = np.ones((1, 8), bool)
+
+    head = EgoMotionHead(n_kpts=per, n_sweeps=t_frames, seq_pose=strategy)
+    args = tuple(jnp.asarray(x) for x in (
+        pillar_feats, pillar_mean, pillar_t, valid, valid, pts, tid, pv, gt))
+    variables = head.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, *args
+    )
+    out = head.apply(variables, *args, rngs={"sample": jax.random.key(2)})
+    est = np.asarray(out["ego_motion_est"][0])
+    for t in range(1, t_frames):
+        rot_err = float(se3_ops.rotation_error_deg(
+            jnp.asarray(est[t, :3, :3]), jnp.asarray(poses[t][:3, :3])))
+        trans_err = float(np.linalg.norm(est[t, :3, 3] - poses[t][:3, 3]))
+        assert rot_err < 0.5, (strategy, t, rot_err)
+        assert trans_err < 0.1, (strategy, t, trans_err)
+    assert float(out["ego_rot_error"]) < 0.5
