@@ -270,14 +270,17 @@ class MotionNet(nn.Module):
         # dominant profiled cost (alignnet over all N padded points).
         s_cap = self.cfg["capacity"].get("max_fg_points", 0) or n
         if s_cap < n:
+            from pcaccumulation_tpu.ops.segment import take_rows_unique
+
             _, sel = jax.lax.top_k(rec_mask.astype(jnp.float32), s_cap)  # [B,S]
             sel_valid = jnp.take_along_axis(rec_mask, sel, axis=1)
 
+            # top_k indices are distinct -> unique-scatter VJP
             def g2(arr):
-                return jnp.take_along_axis(arr, sel, axis=1)
+                return take_rows_unique(arr, sel)
 
             def g3(arr):
-                return jnp.take_along_axis(arr, sel[..., None], axis=1)
+                return take_rows_unique(arr, sel)
 
             r_points, r_tid = g3(transformed_points), g2(time_idx)
             r_inst, r_mask = g2(inst_labels), sel_valid

@@ -77,3 +77,34 @@ def segment_count(segment_ids, valid, num_segments: int,
         valid.astype(jnp.float32), segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+
+
+@jax.custom_vjp
+def take_rows_unique(arr, idx):
+    """Batched row gather whose VJP is a unique-index scatter-add.
+
+    arr [B, N, ...], idx [B, S] int with DISTINCT values per row (e.g.
+    top_k output — top_k always returns distinct positions). The default
+    take_along_axis backward emits a generic scatter-add; declaring the
+    indices unique unlocks XLA's fast scatter path on TPU (the same
+    effect measured 35x on the BEV canvas scatter).
+    """
+    expand = (slice(None),) * 2 + (None,) * (arr.ndim - 2)
+    return jnp.take_along_axis(arr, idx[expand], axis=1)
+
+
+def _take_rows_fwd(arr, idx):
+    return take_rows_unique(arr, idx), (idx, arr.shape, arr.dtype)
+
+
+def _take_rows_bwd(res, g):
+    idx, shape, dtype = res
+    zeros = jnp.zeros(shape, dtype)
+
+    def one(z, ix, gg):
+        return z.at[ix].add(gg, mode="drop", unique_indices=True)
+
+    return jax.vmap(one)(zeros, idx, g.astype(dtype)), None
+
+
+take_rows_unique.defvjp(_take_rows_fwd, _take_rows_bwd)

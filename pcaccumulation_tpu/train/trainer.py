@@ -155,9 +155,22 @@ class Trainer:
             stats = fuse_loss(results, batch, loss_w, max_inst)
             return stats["loss"], (stats, new_stats)
 
+        # full rematerialization is a measured, shape-dependent trade:
+        # 45 -> 23 ms/step at T=4/N=60k (activation traffic dominates) but
+        # 163 -> 212 ms at Waymo T=5/N=90k (recompute dominates) — opt in
+        # per config after benchmarking
+        if cfg["train"].get("remat", False):
+            grad_loss_fn = jax.checkpoint(
+                loss_fn,
+                policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=(4,),
+            )
+        else:
+            grad_loss_fn = loss_fn
+
         def train_step(params, batch_stats, opt_state, batch, rng):
             (loss, (stats, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+                grad_loss_fn, has_aux=True
             )(params, batch_stats, batch, rng, True)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
