@@ -79,7 +79,6 @@ def segment_count(segment_ids, valid, num_segments: int,
     )
 
 
-@jax.custom_vjp
 def take_rows_unique(arr, idx):
     """Batched row gather whose VJP is a unique-index scatter-add.
 
@@ -87,24 +86,24 @@ def take_rows_unique(arr, idx):
     top_k output — top_k always returns distinct positions). The default
     take_along_axis backward emits a generic scatter-add; declaring the
     indices unique unlocks XLA's fast scatter path on TPU (the same
-    effect measured 35x on the BEV canvas scatter).
-    """
+    effect measured 35x on the BEV canvas scatter)."""
+    shape, dtype = arr.shape, arr.dtype
     expand = (slice(None),) * 2 + (None,) * (arr.ndim - 2)
-    return jnp.take_along_axis(arr, idx[expand], axis=1)
 
+    @jax.custom_vjp
+    def gather(a, ix):
+        return jnp.take_along_axis(a, ix[expand], axis=1)
 
-def _take_rows_fwd(arr, idx):
-    return take_rows_unique(arr, idx), (idx, arr.shape, arr.dtype)
+    def fwd(a, ix):
+        return gather(a, ix), ix
 
+    def bwd(ix, g):
+        zeros = jnp.zeros(shape, dtype)
 
-def _take_rows_bwd(res, g):
-    idx, shape, dtype = res
-    zeros = jnp.zeros(shape, dtype)
+        def one(z, i, gg):
+            return z.at[i].add(gg, mode="drop", unique_indices=True)
 
-    def one(z, ix, gg):
-        return z.at[ix].add(gg, mode="drop", unique_indices=True)
+        return jax.vmap(one)(zeros, ix, g.astype(dtype)), None
 
-    return jax.vmap(one)(zeros, idx, g.astype(dtype)), None
-
-
-take_rows_unique.defvjp(_take_rows_fwd, _take_rows_bwd)
+    gather.defvjp(fwd, bwd)
+    return gather(arr, idx)

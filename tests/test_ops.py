@@ -264,3 +264,30 @@ def test_row_shift_vjp_transpose(rng):
     lhs = float(jnp.sum(y * g))
     rhs = float(jnp.sum(x * dx))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_take_rows_unique_matches_take_along_axis(rng):
+    """Value and gradient parity with take_along_axis for distinct
+    per-row indices (the top_k case it is used for)."""
+    from pcaccumulation_tpu.ops.segment import take_rows_unique
+
+    b, n, s, c = 2, 32, 8, 5
+    arr = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    idx = jnp.stack([
+        jnp.asarray(rng.permutation(n)[:s].astype(np.int32)) for _ in range(b)
+    ])
+    out = take_rows_unique(arr, idx)
+    ref = jnp.take_along_axis(arr, idx[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+    g = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    d_ours = jax.vjp(lambda a: take_rows_unique(a, idx), arr)[1](g)[0]
+    d_ref = jax.vjp(lambda a: jnp.take_along_axis(a, idx[..., None], axis=1), arr)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(d_ours), np.asarray(d_ref))
+
+    # 2-D variant (labels)
+    arr2 = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    out2 = take_rows_unique(arr2, idx)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(jnp.take_along_axis(arr2, idx, axis=1))
+    )
