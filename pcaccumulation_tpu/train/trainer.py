@@ -184,14 +184,53 @@ class Trainer:
         self._val_step = jax.jit(val_step)
 
     # ------------------------------------------------------------------ epochs
-    def _detach_stats(self, stats):
-        return jax.tree.map(lambda x: np.asarray(x), stats)
+    def _flatten_stats_device(self, stats):
+        """One device->host transfer per step instead of one per stat leaf
+        (each leaf fetch is a full round trip through the device tunnel —
+        measured to dominate the step wall time)."""
+        if not hasattr(self, "_stats_meta"):
+            leaves, treedef = jax.tree.flatten(stats)
+            shapes = [tuple(np.shape(x)) for x in leaves]
+            sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+            self._stats_meta = (treedef, shapes, sizes)
+            self._stats_flattener = jax.jit(
+                lambda s: jnp.concatenate(
+                    [jnp.ravel(x).astype(jnp.float32) for x in jax.tree.leaves(s)]
+                )
+            )
+        return self._stats_flattener(stats)
+
+    def _unflatten_stats(self, flat_np):
+        treedef, shapes, sizes = self._stats_meta
+        out, ofs = [], 0
+        for sh, sz in zip(shapes, sizes):
+            out.append(np.asarray(flat_np[ofs:ofs + sz]).reshape(sh))
+            ofs += sz
+        return jax.tree.unflatten(treedef, out)
 
     def inference_one_epoch(self, epoch: int, phase: str):
         assert phase in ("train", "val")
         loader = self.loaders[phase]
         meters = None
         base_rng = jax.random.key(epoch * 10007 + (0 if phase == "train" else 1))
+        pending = None  # device handle of the previous step's stats
+
+        def consume(flat_dev, it_done):
+            nonlocal meters
+            stats = self._unflatten_stats(np.asarray(flat_dev))
+            if meters is None:
+                meters = init_stats_meter(stats)
+            update_stats_meter(meters, stats)
+            # intra-epoch scalar stream, n_verbose times per epoch
+            # (libs/trainer.py:241-243 tensorboard-equivalent)
+            if self.n_verbose > 0:
+                interval = max(1, len(loader) // self.n_verbose)
+                if (it_done + 1) % interval == 0:
+                    step = len(loader) * max(epoch - 1, 0) + it_done
+                    self.metrics_writer.write(
+                        step, phase, self._scalar_snapshot(meters)
+                    )
+
         for it, batch in enumerate(loader):
             jbatch = jax.tree.map(jnp.asarray, batch)
             if self.mesh is not None:
@@ -211,19 +250,15 @@ class Trainer:
                 )
             else:
                 stats = self._val_step(self.params, self.batch_stats, jbatch, rng)
-            stats = self._detach_stats(stats)
-            if meters is None:
-                meters = init_stats_meter(stats)
-            update_stats_meter(meters, stats)
-            # intra-epoch scalar stream, n_verbose times per epoch
-            # (libs/trainer.py:241-243 tensorboard-equivalent)
-            if self.n_verbose > 0:
-                interval = max(1, len(loader) // self.n_verbose)
-                if (it + 1) % interval == 0:
-                    step = len(loader) * max(epoch - 1, 0) + it
-                    self.metrics_writer.write(
-                        step, phase, self._scalar_snapshot(meters)
-                    )
+            flat = self._flatten_stats_device(stats)
+            # fetch the PREVIOUS step's stats: dispatch is async, so this
+            # host transfer overlaps the current step's device compute
+            if pending is not None:
+                consume(pending, it - 1)
+            pending = (flat)
+            last_it = it
+        if pending is not None:
+            consume(pending, last_it)
         self.log_epoch(meters, epoch, phase)
         self.metrics_writer.write(
             len(loader) * max(epoch, 1) - 1, f"epoch_{phase}",
