@@ -60,6 +60,17 @@ def make_batch(cfg, batch_size):
 
 
 def main():
+    # the device tunnel occasionally throws a transient FailedPrecondition;
+    # one retry keeps the driver-facing artifact green on a blip
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — deliberate single retry
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
+              file=__import__("sys").stderr)
+        _run()
+
+
+def _run():
     batch_size = 1
     cfg = bench_cfg(batch_size)
     batch = make_batch(cfg, batch_size)
