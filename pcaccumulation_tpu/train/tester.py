@@ -127,11 +127,10 @@ class Tester:
                                  drop_last=False)
             buf = {k: [] for k in ("fb_label", "sd_label", "epe_per_point",
                                    "relative_error", "time_indice")}
-            for it, batch in enumerate(loader):
-                jbatch = jax.tree.map(jnp.asarray, batch)
-                out = self._step(self.variables, jbatch, jax.random.key(it))
-                out = jax.tree.map(np.asarray, out)
 
+            def consume(dev_out, batch):
+                nonlocal stats_meter
+                out = jax.tree.map(np.asarray, dev_out)
                 valid = batch["point_valid"][0]
                 tid = batch["time_idx"][0]
                 sel = valid & (tid > 0)  # tester.py:85: exclude the anchor
@@ -149,6 +148,19 @@ class Tester:
                     out["inst_labels_est"][0], batch["inst_labels"][0],
                     batch["sd_labels"][0], valid,
                 )
+
+            # one-sample-delayed fetch: the host transfer of sample i-1
+            # overlaps sample i's device compute (same pattern as the
+            # trainer's stats pipeline)
+            pending = None
+            for it, batch in enumerate(loader):
+                jbatch = jax.tree.map(jnp.asarray, batch)
+                dev_out = self._step(self.variables, jbatch, jax.random.key(it))
+                if pending is not None:
+                    consume(*pending)
+                pending = (dev_out, batch)
+            if pending is not None:
+                consume(*pending)
 
             scene_dir = os.path.join("results", exp, scene)
             os.makedirs(scene_dir, exist_ok=True)
