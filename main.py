@@ -70,6 +70,21 @@ def main(argv):
     cfg["train"]["iter_size"] = iter_size
     setup_seed(cfg["misc"]["seed"])
 
+    # data-parallel mesh: every sharded batch's leading axis must divide
+    # by the mesh size — align the val loader with the train batch
+    n_dev = cfg.get("parallel", {}).get("num_devices", 1)
+    if n_dev != 1:
+        import jax
+
+        mesh_size = len(jax.devices()) if n_dev == 0 else n_dev
+        if batch_size % mesh_size:
+            raise SystemExit(
+                f"batch_size {batch_size} not divisible by the "
+                f"{mesh_size}-device data mesh"
+            )
+        if cfg["val"]["batch_size"] % mesh_size:
+            cfg["val"]["batch_size"] = batch_size
+
     save_dir = os.path.join("snapshot", cfg["misc"]["exp_name"])
     os.makedirs(save_dir, exist_ok=True)
     save_config(cfg, os.path.join(save_dir, "config.json"))
@@ -78,11 +93,20 @@ def main(argv):
     model = MotionNet(cfg)
     loaders = build_loaders(cfg)
 
+    # data-parallel mesh: parallel.num_devices > 1 shards batches over
+    # the local devices (0 = all); XLA inserts the gradient psums
+    mesh = None
+    n_dev = cfg.get("parallel", {}).get("num_devices", 1)
+    if n_dev != 1:
+        from pcaccumulation_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(None if n_dev == 0 else n_dev)
+
     mode = cfg["misc"]["mode"]
     if mode in ("train", "val"):
         from pcaccumulation_tpu.train.trainer import Trainer
 
-        trainer = Trainer(cfg, model, loaders, save_dir=save_dir)
+        trainer = Trainer(cfg, model, loaders, save_dir=save_dir, mesh=mesh)
         if mode == "train":
             trainer.train()
         else:
