@@ -87,10 +87,19 @@ def _run():
     # meaningless. We time a scalar host fetch of an n-step on-device loop
     # for two different n and difference them, cancelling the constant
     # dispatch/transfer overhead.
+    #
+    # The input is perturbed per iteration (i * 1e-12, numerically inert):
+    # without this, XLA's while-loop invariant code motion hoists the whole
+    # RNG-independent prefix (pillar encoder -> UNet -> seg heads) out of
+    # the loop and the benchmark measures only half the forward (round-2's
+    # 82 seq/s was inflated 2x this way; the honest number is what this
+    # version prints).
     def many(variables, batch, n_steps):
         def body(i, acc):
+            b2 = dict(batch)
+            b2["points"] = batch["points"] + (i * jnp.float32(1e-12))
             r = model.apply(
-                variables, batch, train=False, mode="val",
+                variables, b2, train=False, mode="val",
                 rngs={"sample": jax.random.fold_in(jax.random.key(0), i)},
             )
             return acc + jnp.sum(r["rec_est"])
