@@ -26,8 +26,7 @@ from pcaccumulation_tpu.models.layers import SegHead2D
 from pcaccumulation_tpu.models.pillar_encoder import (
     PillarFeatureNet,
     gather_bev_at_pillars,
-    pillar_label_max,
-    pillar_means,
+    pillar_stats,
     scatter_pillars_to_bev,
 )
 from pcaccumulation_tpu.models.stpn import STPN
@@ -116,28 +115,34 @@ class MotionNet(nn.Module):
         results = {}
 
         # ---- 1. pillar stats + GT canvases (motionnet.py:159-173) ---------
-        pillar_mean = pillar_means(points, point_valid, p2v, m)     # [B, M, 3]
-        fb_pillar_gt = pillar_label_max(fb_labels, point_valid, p2v, m)
-
-        occ = scatter_pillars_to_bev(
-            pillar_valid[..., None].astype(jnp.float32), pillar_coords,
-            pillar_valid, t, self.grid_hw,
-        )  # [B, T, H, W, 1]
-        fb_map_gt = scatter_pillars_to_bev(
-            fb_pillar_gt[..., None].astype(jnp.float32), pillar_coords,
-            pillar_valid, t, self.grid_hw,
+        # one fused segment pass: mean xyz + fb max (torch_scatter
+        # mean/max at motionnet.py:159-160)
+        pillar_mean, fb_pillar_gt = pillar_stats(
+            points, fb_labels, point_valid, p2v, m
         )
-        results["occ_map"] = occ
-        results["fb_seg_gt"] = fb_map_gt
 
         # ---- 2. pillar encoder -> BEV -> UNet (motionnet.py:177-184) ------
         pillar_feats = self.pillar_encoder(
             points, time_idx, point_valid, p2v, pillar_coords, pillar_mean, m
         )  # [B, M, C]
-        bev = scatter_pillars_to_bev(
-            pillar_feats, pillar_coords, pillar_valid, t, self.grid_hw
-        )  # [B, T, H, W, C]
-        c = bev.shape[-1]
+        c = pillar_feats.shape[-1]
+        # ONE canvas scatter carries features + occupancy + fb GT as extra
+        # channels (three separate scatters cost ~3.4 ms at bench shapes;
+        # the scatter's fixed cost dominates its bandwidth)
+        packed = jnp.concatenate(
+            [
+                pillar_feats,
+                pillar_valid[..., None].astype(pillar_feats.dtype),
+                fb_pillar_gt[..., None].astype(pillar_feats.dtype),
+            ],
+            axis=-1,
+        )  # [B, M, C+2]
+        canvas = scatter_pillars_to_bev(
+            packed, pillar_coords, pillar_valid, t, self.grid_hw
+        )  # [B, T, H, W, C+2]
+        bev = canvas[..., :c]
+        results["occ_map"] = jax.lax.stop_gradient(canvas[..., c:c + 1])
+        results["fb_seg_gt"] = jax.lax.stop_gradient(canvas[..., c + 1:c + 2])
         bev_feats = self.unet(bev.reshape(b * t, h, w, c))
         bev_feats = bev_feats.reshape(b, t, h, w, -1)
 
@@ -215,14 +220,43 @@ class MotionNet(nn.Module):
         else:
             fb_mask = (fb_est_point == 1) & point_valid
 
-        mos, offset, mos_map = self.motionhead(
-            warped, transformed_points, fb_mask, self.pc_range[0], train=train
-        )
         gate = jnp.sum(fb_mask) > MIN_POINTS
-        default_mos = jnp.zeros_like(mos).at[..., 0].set(1.0)
-        use = (fb_mask & gate)[..., None]
-        results["mos_est"] = jnp.where(use, mos, default_mos)
-        results["offset_est"] = jnp.where(use, offset, 0.0)
+        s_fb = self.cfg["capacity"].get("max_fg_points", 0) or n
+        if s_fb < n:
+            # decode MOS/offset on the FG subset only: the reference decodes
+            # every point (stpn.py:91-103) but only FG points are ever
+            # consumed (motionnet.py:222-229); gathering first cuts the
+            # per-point ungrid + MLP + head work ~N/S-fold
+            from pcaccumulation_tpu.ops.segment import (
+                compact_mask_indices,
+                take_rows_unique,
+            )
+
+            sel_fb, sel_fb_valid = compact_mask_indices(fb_mask, s_fb)
+            pts_sub = take_rows_unique(transformed_points, sel_fb)
+            mos_sub, off_sub, mos_map = self.motionhead(
+                warped, pts_sub, sel_fb_valid, self.pc_range[0], train=train
+            )
+            default_mos = (
+                jnp.zeros((b, n, 2), mos_sub.dtype).at[..., 0].set(1.0)
+            )
+            put_idx = jnp.where(sel_fb_valid & gate, sel_fb, n)
+
+            def put_rows(base, idx, sub):
+                return base.at[idx].set(sub, mode="drop", unique_indices=True)
+
+            results["mos_est"] = jax.vmap(put_rows)(default_mos, put_idx, mos_sub)
+            results["offset_est"] = jax.vmap(put_rows)(
+                jnp.zeros((b, n, 2), off_sub.dtype), put_idx, off_sub
+            )
+        else:
+            mos, offset, mos_map = self.motionhead(
+                warped, transformed_points, fb_mask, self.pc_range[0], train=train
+            )
+            default_mos = jnp.zeros_like(mos).at[..., 0].set(1.0)
+            use = (fb_mask & gate)[..., None]
+            results["mos_est"] = jnp.where(use, mos, default_mos)
+            results["offset_est"] = jnp.where(use, offset, 0.0)
 
         # ---- 6. per-instance reconstruction (motionnet.py:233-260) ---------
         if mode in ("train", "val"):
@@ -270,12 +304,15 @@ class MotionNet(nn.Module):
         # dominant profiled cost (alignnet over all N padded points).
         s_cap = self.cfg["capacity"].get("max_fg_points", 0) or n
         if s_cap < n:
-            from pcaccumulation_tpu.ops.segment import take_rows_unique
+            from pcaccumulation_tpu.ops.segment import (
+                compact_mask_indices,
+                take_rows_unique,
+            )
 
-            _, sel = jax.lax.top_k(rec_mask.astype(jnp.float32), s_cap)  # [B,S]
-            sel_valid = jnp.take_along_axis(rec_mask, sel, axis=1)
+            # cumsum stable-partition instead of top_k (no full-row sort);
+            # indices are distinct -> unique-scatter VJP
+            sel, sel_valid = compact_mask_indices(rec_mask, s_cap)
 
-            # top_k indices are distinct -> unique-scatter VJP
             def g2(arr):
                 return take_rows_unique(arr, sel)
 

@@ -30,8 +30,11 @@ class STPN(nn.Module):
         """
         Args:
           x:      [B, T, H, W, C] warped BEV features.
-          points: [B, N, 3] transformed (anchor-frame) points.
-          point_mask: [B, N] bool — which points are decoded (BN statistics).
+          points: [B, N, 3] transformed (anchor-frame) points. The caller
+            may pass a pre-gathered FG subset (MotionNet does: only
+            foreground points are ever consumed downstream, so decoding
+            the subset cuts the ungrid + MLP + head work N/S-fold).
+          point_mask: [B, N] bool — which rows are real (BN statistics).
           pc_range_min: scalar, min x/y coordinate of the grid.
         Returns:
           classes [B, N, 2], offset [B, N, 2], mos feature map [B, H, W, 64]

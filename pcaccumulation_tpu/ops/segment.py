@@ -79,6 +79,40 @@ def segment_count(segment_ids, valid, num_segments: int,
     )
 
 
+def compact_mask_indices(mask, s_cap: int):
+    """Indices of a mask's True rows, compacted to a static capacity.
+
+    mask [B, N] bool -> (sel [B, s_cap] int32, sel_valid [B, s_cap] bool).
+    Stable partition via two cumsums: selected indices first (ascending),
+    then unselected filler, truncated at s_cap. Replaces top_k-based
+    selection (top_k sorts the whole row: ~0.4 ms at N=60k on v5e vs ~50 us
+    for cumsum + one unique scatter). The result rows are a prefix of a
+    permutation of arange(N), hence DISTINCT — safe for
+    `take_rows_unique`'s unique-index scatter-add VJP.
+
+    If the mask has more than s_cap True rows, the overflow rows are NOT
+    selected (same truncation the top_k path had).
+    """
+    b, n = mask.shape
+    mask_i = mask.astype(jnp.int32)
+    sel_cum = jnp.cumsum(mask_i, axis=1)  # [B, N] 1-based rank among selected
+    count = sel_cum[:, -1:]  # [B, 1]
+    idx = jnp.arange(n, dtype=jnp.int32)[None]  # [1, N]
+    unsel_rank = (idx + 1) - sel_cum  # 1-based rank among unselected
+    dest = jnp.where(mask, sel_cum - 1, count + unsel_rank - 1)  # permutation
+
+    def invert(d):
+        out = jnp.zeros((s_cap,), jnp.int32)
+        dd = jnp.where(d < s_cap, d, s_cap)
+        return out.at[dd].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+
+    sel = jax.vmap(invert)(dest)
+    sel_valid = idx[:, :s_cap] < count
+    return sel, sel_valid
+
+
 def take_rows_unique(arr, idx):
     """Batched row gather whose VJP is a unique-index scatter-add.
 

@@ -291,3 +291,54 @@ def test_take_rows_unique_matches_take_along_axis(rng):
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(jnp.take_along_axis(arr2, idx, axis=1))
     )
+
+
+def test_compact_mask_indices_matches_topk(rng):
+    """Stable-partition FG select == the old top_k-of-mask selection."""
+    from pcaccumulation_tpu.ops.segment import compact_mask_indices
+
+    b, n, s = 3, 200, 64
+    mask = jnp.asarray(rng.random((b, n)) < 0.2)
+    sel, sel_valid = compact_mask_indices(mask, s)
+    # old path
+    _, sel_ref = jax.lax.top_k(mask.astype(jnp.float32), s)
+    valid_ref = jnp.take_along_axis(mask, sel_ref, axis=1)
+    np.testing.assert_array_equal(np.asarray(sel_valid), np.asarray(valid_ref))
+    # selected prefix must be identical (top_k ties resolve by index order)
+    for i in range(b):
+        k = int(mask[i].sum())
+        np.testing.assert_array_equal(
+            np.asarray(sel[i, :k]), np.asarray(sel_ref[i, :k])
+        )
+        # full row is a set of distinct in-range indices
+        assert len(set(np.asarray(sel[i]).tolist())) == s
+        assert int(sel[i].max()) < n
+
+    # overflow: more True rows than capacity -> first s selected, all valid
+    mask_full = jnp.ones((1, n), bool)
+    sel2, valid2 = compact_mask_indices(mask_full, s)
+    np.testing.assert_array_equal(np.asarray(sel2[0]), np.arange(s))
+    assert bool(valid2.all())
+
+
+def test_pillar_stats_matches_separate_ops(rng):
+    """Fused mean+fb pass == pillar_means + pillar_label_max."""
+    from pcaccumulation_tpu.models.pillar_encoder import (
+        pillar_label_max,
+        pillar_means,
+        pillar_stats,
+    )
+
+    b, n, m = 2, 300, 40
+    points = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    fb = jnp.asarray(rng.integers(0, 2, size=(b, n)).astype(np.int32))
+    valid = jnp.asarray(rng.random((b, n)) < 0.8)
+    p2v = jnp.asarray(
+        np.sort(rng.integers(0, m + 1, size=(b, n)), axis=1).astype(np.int32)
+    )
+    mean, fbp = pillar_stats(points, fb, valid, p2v, m)
+    mean_ref = pillar_means(points, valid, p2v, m)
+    fb_ref = pillar_label_max(fb, valid, p2v, m)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fbp), np.asarray(fb_ref))

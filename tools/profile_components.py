@@ -121,12 +121,13 @@ def main():
             jbatch["point_valid"], gt),
         feats)
 
-    # stpn motion head
+    # stpn motion head (per-point decode on the FG subset, like MotionNet)
+    s_fg = min(cfg["capacity"].get("max_fg_points", n) or n, n)
     warped = jax.random.normal(key, (b, t, h, w, cdim), jnp.float32)
-    sub("stpn",
+    sub(f"stpn[S={s_fg}]",
         lambda mdl, wp: mdl.motionhead(
-            wp, points, jbatch["point_valid"], cfg["voxel_generator"]["range"][0],
-            train=False),
+            wp, points[:, :s_fg], jbatch["point_valid"][:, :s_fg],
+            cfg["voxel_generator"]["range"][0], train=False),
         warped)
 
     # alignnet (tpointnet x n_iterations) at the real gathered size

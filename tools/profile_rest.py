@@ -102,7 +102,7 @@ def main():
     fm = jax.random.normal(key, (t - 1, h, w, cdim), jnp.float32).astype(bf16)
     pose = jnp.broadcast_to(jnp.eye(4), (t - 1, 4, 4)).astype(jnp.float32)
     ang = jnp.stack([se3.make_transform(
-        se3.quat2mat(jnp.array([jnp.cos(0.05 * i), 0, 0, jnp.sin(0.05 * i)])),
+        se3.euler_z_matrix(jnp.float32(0.05 * i)),
         jnp.array([0.5 * i, 0.2, 0.0])) for i in range(1, t)])
     rec("warp_bev shear x(T-1)",
         lambda f: jax.vmap(lambda a, p: warp_bev(
