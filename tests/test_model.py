@@ -315,3 +315,60 @@ def test_egomotion_strategies_recover_pose(strategy):
         assert rot_err < 0.5, (strategy, t, rot_err)
         assert trans_err < 0.1, (strategy, t, trans_err)
     assert float(out["ego_rot_error"]) < 0.5
+
+
+def test_temporal_banded_conv_matches_conv3d():
+    """TemporalBandedConv (T folded into channels, block-banded 2-D kernel)
+    must reproduce nn.Conv(C, (3,3,3)) exactly with the SAME param pytree."""
+    import flax.linen as nn
+    from pcaccumulation_tpu.models.stpn import TemporalBandedConv
+
+    b, t, h, w, c = 2, 4, 10, 12, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+
+    ref = nn.Conv(c, (3, 3, 3), padding=1)
+    ref_vars = ref.init(jax.random.key(0), x)
+
+    banded = TemporalBandedConv(c, t)
+    x_fold = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+    out_fold = banded.apply({"params": ref_vars["params"]}, x_fold)
+    out = out_fold.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+    ref_out = ref.apply(ref_vars, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5)
+
+
+def test_folded_seg_head_matches_seg_head2d():
+    """FoldedSegHead2D on the folded [B,H,W,T*C] canvas must reproduce
+    SegHead2D on the unfolded [B*T,H,W,C] input with the SAME params —
+    outputs AND updated BatchNorm statistics (train mode)."""
+    from pcaccumulation_tpu.models.layers import FoldedSegHead2D, SegHead2D
+
+    b, t, h, w, c, out = 2, 4, 8, 10, 6, 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+
+    ref = SegHead2D(out)
+    ref_vars = ref.init(jax.random.key(0), x.reshape(b * t, h, w, c))
+    folded_mod = FoldedSegHead2D(out, n_frames=t)
+
+    x_fold = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+    for train in (False, True):
+        ref_out, ref_mut = ref.apply(
+            ref_vars, x.reshape(b * t, h, w, c), train=train,
+            mutable=["batch_stats"])
+        our_out, our_mut = folded_mod.apply(
+            ref_vars, x_fold, train=train, mutable=["batch_stats"])
+        our_unf = (
+            our_out.reshape(b, h, w, t, out).transpose(0, 3, 1, 2, 4)
+            .reshape(b * t, h, w, out)
+        )
+        np.testing.assert_allclose(np.asarray(our_unf), np.asarray(ref_out),
+                                   atol=3e-5, err_msg=f"train={train}")
+        for leaf_ref, leaf_our in zip(
+            jax.tree.leaves(ref_mut), jax.tree.leaves(our_mut)
+        ):
+            np.testing.assert_allclose(np.asarray(leaf_our),
+                                       np.asarray(leaf_ref), atol=1e-5)

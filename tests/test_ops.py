@@ -342,3 +342,93 @@ def test_pillar_stats_matches_separate_ops(rng):
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(fbp), np.asarray(fb_ref))
+
+
+def test_warp_bev_batch_matches_per_frame(rng):
+    """warp_bev_batch (frames folded into the row axis, one row-shift call
+    per shear pass) must match per-frame warp_bev for both methods."""
+    f, h, w, c = 3, 24, 24, 4
+    img = rng.normal(size=(f, h, w, c)).astype(np.float32)
+    poses = []
+    for k, (theta, t) in enumerate(
+        ((0.0, [0.0, 0.0]), (0.2, [0.5, -0.3]), (-0.35, [1.0, 0.7]))
+    ):
+        p = np.eye(4, dtype=np.float32)
+        p[:2, :2] = [[np.cos(theta), -np.sin(theta)],
+                     [np.sin(theta), np.cos(theta)]]
+        p[:2, 3] = t
+        poses.append(p)
+    poses = np.stack(poses)
+    args = (0.25, 0.25, -3.0, -3.0)
+    for method in ("shear", "gather"):
+        batched = np.asarray(bilinear.warp_bev_batch(
+            jnp.asarray(img), jnp.asarray(poses), *args, method=method))
+        for k in range(f):
+            single = np.asarray(bilinear.warp_bev(
+                jnp.asarray(img[k]), jnp.asarray(poses[k]), *args,
+                method=method))
+            np.testing.assert_allclose(batched[k], single, atol=1e-5,
+                                       err_msg=f"{method} frame {k}")
+
+
+def test_row_shift_blocks_matches_xla(rng):
+    """Per-(row, frame-block) Pallas shift (interpret mode) == per-block
+    XLA fallback, including OOB zeroing + fractional lerp."""
+    from pcaccumulation_tpu.ops.bilinear import (
+        _row_shift_blocks_pallas,
+        _row_shift_blocks_xla,
+    )
+
+    r, w, c, nb = 16, 32, 8, 3
+    img = jnp.asarray(rng.normal(size=(r, w, nb * c)).astype(np.float32))
+    shifts = (rng.random((r, nb)).astype(np.float32) - 0.5) * 2.5 * w
+    k = np.floor(shifts)
+    f = jnp.asarray((shifts - k).astype(np.float32))
+    ki = jnp.asarray(np.clip(k.astype(np.int32), -w, w))
+    ours = np.asarray(_row_shift_blocks_pallas(img, ki, f, nb, interpret=True))
+    ref = np.asarray(_row_shift_blocks_xla(img, ki, f, nb))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_warp_bev_folded_matches_per_frame(rng):
+    """warp_bev_folded on a [B,H,W,T*C] canvas == per-frame shear warp_bev
+    on the unfolded [T,H,W,C] frames (frame 0 identity = pass-through)."""
+    b, t, h, w, c = 1, 4, 24, 24, 4
+    img = rng.normal(size=(t, h, w, c)).astype(np.float32)
+    poses = [np.eye(4, dtype=np.float32)]
+    for theta, tr in ((0.2, [0.5, -0.3]), (-0.35, [1.0, 0.7]), (0.1, [0, 1.1])):
+        p = np.eye(4, dtype=np.float32)
+        p[:2, :2] = [[np.cos(theta), -np.sin(theta)],
+                     [np.sin(theta), np.cos(theta)]]
+        p[:2, 3] = tr
+        poses.append(p)
+    poses = np.stack(poses)
+    args = (0.25, 0.25, -3.0, -3.0)
+
+    folded = jnp.asarray(img.transpose(1, 2, 0, 3).reshape(1, h, w, t * c))
+    out = np.asarray(bilinear.warp_bev_folded(
+        folded, jnp.asarray(poses)[None], *args))
+    out = out.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+
+    for k in range(t):
+        single = np.asarray(bilinear.warp_bev(
+            jnp.asarray(img[k]), jnp.asarray(poses[k]), *args,
+            method="shear"))
+        np.testing.assert_allclose(out[k], single, atol=1e-5,
+                                   err_msg=f"frame {k}")
+    # frame 0 (identity pose) is a pass-through up to the ~1e-7 float
+    # residue of the pixel-affine shift derivation
+    np.testing.assert_allclose(out[0], img[0], atol=1e-5)
+
+
+def test_temporal_ungrid_folded_matches_unfolded(rng):
+    t, h, w, c, n = 3, 16, 16, 6, 200
+    feats = rng.normal(size=(t, h, w, c)).astype(np.float32)
+    pts = (rng.random((n, 2)).astype(np.float32) - 0.5) * 7.5
+    tid = rng.integers(0, t, size=n).astype(np.int32)
+    ref = np.asarray(bilinear.temporal_ungrid(
+        jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(tid), -4.0))
+    folded = jnp.asarray(feats.transpose(1, 2, 0, 3).reshape(h, w, t * c))
+    ours = np.asarray(bilinear.temporal_ungrid_folded(
+        folded, jnp.asarray(pts), jnp.asarray(tid), -4.0, t))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
