@@ -106,7 +106,8 @@ def main():
     bev = jax.random.normal(key, (b * t, h, w, cdim), jnp.float32)
     sub("unet", lambda mdl, x: mdl.unet(x), bev)
 
-    # seg heads
+    # seg heads (pre-fold [B*T, H, W, C] UNet output)
+    bevf = jax.random.normal(key, (b, h, w, t * cdim), jnp.float32)
     sub("semseg_head", lambda mdl, x: mdl.semseg_head(x, train=False), bev)
     sub("ego_feats_head", lambda mdl, x: mdl.ego_feats_head(x, train=False), bev)
 
@@ -123,12 +124,30 @@ def main():
 
     # stpn motion head (per-point decode on the FG subset, like MotionNet)
     s_fg = min(cfg["capacity"].get("max_fg_points", n) or n, n)
-    warped = jax.random.normal(key, (b, t, h, w, cdim), jnp.float32)
+    warped = jax.random.normal(key, (b, h, w, t * cdim), jnp.float32)
     sub(f"stpn[S={s_fg}]",
         lambda mdl, wp: mdl.motionhead(
             wp, points[:, :s_fg], jbatch["point_valid"][:, :s_fg],
             cfg["voxel_generator"]["range"][0], train=False),
         warped)
+
+    # folded shear warp (one row-shift kernel per pass over all frames)
+    from pcaccumulation_tpu.ops.bilinear import warp_bev_folded
+    vsz = vg["voxel_size"]
+    rngp = np.random.default_rng(0)
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (b, t, 4, 4)).copy()
+    for bi in range(b):
+        for ti in range(1, t):
+            th = rngp.normal() * 0.02
+            poses[bi, ti, :2, :2] = [[np.cos(th), -np.sin(th)],
+                                     [np.sin(th), np.cos(th)]]
+            poses[bi, ti, :2, 3] = rngp.normal(size=2) * 1.5
+    rows["warp_bev_folded"] = time_fn(
+        lambda x, p: warp_bev_folded(
+            x, p, vsz[0], vsz[1], vg["range"][0], vg["range"][1]),
+        (bevf, jnp.asarray(poses)))
+    print(f"{'warp_bev_folded':24s} {rows['warp_bev_folded']*1e3:8.2f} ms",
+          flush=True)
 
     # alignnet (tpointnet x n_iterations) at the real gathered size
     s_cap = min(cfg["capacity"].get("max_fg_points", n) or n, n)
