@@ -78,9 +78,13 @@ class MotionNet(nn.Module):
         # convs measured 0.8+1.05 ms vs 1.41+2.72 ms for the block-diagonal
         # folded form (the zero blocks are real FLOPs at 256 channels) and
         # 2.1+3.1 ms for feature_group_count=T grouped convs on v5e
-        self.semseg_head = SegHead2D(2, dtype=self.compute_dtype)
+        self.semseg_head = SegHead2D(
+            2, dtype=self.compute_dtype, keep_compute_dtype=True,
+            pad_narrow_out=self.compute_dtype is not None,
+        )
         self.ego_feats_head = SegHead2D(
-            cfg["pose_estimation"]["feats_dim"], dtype=self.compute_dtype
+            cfg["pose_estimation"]["feats_dim"], dtype=self.compute_dtype,
+            keep_compute_dtype=True,
         )
         self.ego_motion_head = EgoMotionHead(
             n_kpts=cfg["pose_estimation"]["n_kpts"],
@@ -173,15 +177,21 @@ class MotionNet(nn.Module):
         )
 
         # ---- 3. FB segmentation (motionnet.py:188-194) ---------------------
-        fb_seg = self.semseg_head(bev_feats, train=train).reshape(
-            b, t, h, w, 2
-        ).astype(jnp.float32)  # logits re-enter f32: CE/Lovasz consume f32
-        results["fb_seg_est"] = fb_seg
-        fb_est_map = jnp.argmax(fb_seg, axis=-1)  # [B, T, H, W]
-        fb_est_pillar = gather_bev_at_pillars(
-            fb_est_map[..., None].astype(jnp.float32), pillar_coords,
-            pillar_valid,
-        )[..., 0].astype(jnp.int32)  # [B, M]
+        # logits stay in the compute dtype; the f32 full map exists only for
+        # the losses (XLA prunes it when the caller drops fb_seg_est), and
+        # the pillar decisions come from a [B, M, 2] gather + compare — the
+        # full-map f32 argmax reduce alone profiled 0.68 ms at 288^2
+        # fb_logits may be 128-wide (pad_narrow_out: channels 2.. are zero);
+        # slicing happens on the tiny post-gather rows / the f32 results view
+        fb_logits = self.semseg_head(bev_feats, train=train)
+        fb_logits = fb_logits.reshape(b, t, h, w, fb_logits.shape[-1])
+        results["fb_seg_est"] = fb_logits[..., :2].astype(jnp.float32)
+        fb_logit_pillar = gather_bev_at_pillars(
+            fb_logits, pillar_coords, pillar_valid
+        )  # [B, M, *]; invalid pillar rows are zero -> compare gives 0 (bg)
+        fb_est_pillar = (
+            fb_logit_pillar[..., 1] > fb_logit_pillar[..., 0]
+        ).astype(jnp.int32)  # [B, M]
         p2v_c = jnp.clip(p2v, 0, m - 1)
         fb_est_point = jnp.take_along_axis(fb_est_pillar, p2v_c, axis=1)
         fb_est_point = jnp.where(point_valid, fb_est_point, 0)

@@ -372,3 +372,30 @@ def test_folded_seg_head_matches_seg_head2d():
         ):
             np.testing.assert_allclose(np.asarray(leaf_our),
                                        np.asarray(leaf_ref), atol=1e-5)
+
+
+def test_narrow_conv_matches_nn_conv():
+    """NarrowConv3x3 (kernel zero-padded to 128 lanes, slice deferred) must
+    reproduce nn.Conv(features, (3,3)) with the SAME param pytree; the
+    padded channels must be exactly zero."""
+    import flax.linen as nn
+    from pcaccumulation_tpu.models.layers import NarrowConv3x3
+
+    b, h, w, cin, co = 2, 12, 10, 16, 2
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+
+    ref = nn.Conv(co, (3, 3), padding=1)
+    ref_vars = ref.init(jax.random.key(0), x)
+    ref_out = ref.apply(ref_vars, x)
+
+    ours = NarrowConv3x3(co).apply({"params": ref_vars["params"]}, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref_out),
+                               atol=1e-5)
+
+    padded = NarrowConv3x3(co, keep_padded=True).apply(
+        {"params": ref_vars["params"]}, x)
+    assert padded.shape[-1] == 128
+    np.testing.assert_allclose(np.asarray(padded[..., :co]),
+                               np.asarray(ref_out), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(padded[..., co:]), 0.0)
