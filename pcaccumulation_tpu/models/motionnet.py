@@ -192,6 +192,14 @@ class MotionNet(nn.Module):
         fb_est_pillar = (
             fb_logit_pillar[..., 1] > fb_logit_pillar[..., 0]
         ).astype(jnp.int32)  # [B, M]
+        # the FB loss consumes these PILLAR-level rows, not the full map:
+        # the reference's occupancy mask (loss.py:164-187) selects exactly
+        # one cell per occupied pillar, so the row sets are identical — and
+        # a [B, M, 2] gather avoids materializing the 64x lane-padded
+        # [B, T, H, W, 2] f32 map in the training graph (its backward
+        # reshape alone traced 16.6 ms at bench shapes)
+        results["fb_logit_pillar"] = fb_logit_pillar[..., :2].astype(jnp.float32)
+        results["fb_pillar_gt"] = jax.lax.stop_gradient(fb_pillar_gt)
         p2v_c = jnp.clip(p2v, 0, m - 1)
         fb_est_point = jnp.take_along_axis(fb_est_pillar, p2v_c, axis=1)
         fb_est_point = jnp.where(point_valid, fb_est_point, 0)

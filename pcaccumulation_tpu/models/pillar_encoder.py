@@ -87,11 +87,34 @@ def gather_bev_at_pillars(canvas, pillar_coords, pillar_valid):
     """[B, T, H, W, C] -> [B, M, C] at each pillar's cell.
 
     Replaces inverse_scatter_point_pillar (pillar_encoder.py:177-204).
+    The backward is a UNIQUE-index scatter-add: every valid pillar owns a
+    distinct canvas cell, and invalid rows are routed to a dropped
+    overflow slot, so the cotangent scatter never collides — the generic
+    scatter-add this replaces traced 2.5 ms at bench shapes.
     """
     b, t, h, w, c = canvas.shape
-    flat_canvas = canvas.reshape(b, t * h * w, c)
-    idx = jnp.clip(pillar_flat_index(pillar_coords, (h, w)), 0, t * h * w - 1)
-    out = jnp.take_along_axis(flat_canvas, idx[..., None], axis=1)
+    r = t * h * w
+    flat_canvas = canvas.reshape(b, r, c)
+    idx = jnp.clip(pillar_flat_index(pillar_coords, (h, w)), 0, r - 1)
+    safe = jnp.where(pillar_valid, idx, r)  # overflow slot, dropped in bwd
+
+    @jax.custom_vjp
+    def gather(fc, ix):
+        return jnp.take_along_axis(fc, jnp.minimum(ix, r - 1)[..., None], axis=1)
+
+    def fwd(fc, ix):
+        return gather(fc, ix), ix
+
+    def bwd(ix, g):
+        def one(i, gg):
+            return jnp.zeros((r, c), g.dtype).at[i].add(
+                gg, mode="drop", unique_indices=True
+            )
+
+        return jax.vmap(one)(ix, g), None
+
+    gather.defvjp(fwd, bwd)
+    out = gather(flat_canvas, safe)
     return out * pillar_valid[..., None].astype(out.dtype)
 
 

@@ -486,13 +486,35 @@ def _make_row_shift_blocks(n_blocks: int):
 _ROW_SHIFT_BLOCKS_CACHE: dict = {}
 
 
-def row_shift_blocks(img, shifts, n_blocks: int):
+def _row_shift_blocks_vjp(img, shifts, n_blocks: int):
     fn = _ROW_SHIFT_BLOCKS_CACHE.get(n_blocks)
     if fn is None:
         fn = _ROW_SHIFT_BLOCKS_CACHE.setdefault(
             n_blocks, _make_row_shift_blocks(n_blocks)
         )
     return fn(img, shifts)
+
+
+def row_shift_blocks(img, shifts, n_blocks: int):
+    """Per-(row, block) shift, chunked so each pallas launch stays within
+    the 128-lane tile width: Mosaic rejects the kernel's narrow
+    dynamically-started sublane loads whenever the scratch exceeds 128
+    lanes ("cannot statically prove that index ... is a multiple of 8" at
+    T*C=160/256, while 32- and 128-lane instances compile). T=4 frames of
+    C=32 run as the single-launch fast path; Waymo T=5 runs as 4+1 blocks,
+    nuScenes T=11 as 4+4+3."""
+    ctot = img.shape[-1]
+    c = ctot // n_blocks
+    group = max(1, min(n_blocks, 128 // max(c, 1)))
+    if group == n_blocks:
+        return _row_shift_blocks_vjp(img, shifts, n_blocks)
+    outs = []
+    for s in range(0, n_blocks, group):
+        e = min(s + group, n_blocks)
+        outs.append(
+            _row_shift_blocks_vjp(img[:, :, s * c:e * c], shifts[:, s:e], e - s)
+        )
+    return jnp.concatenate(outs, axis=-1)
 
 
 def warp_bev_folded(

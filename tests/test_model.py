@@ -399,3 +399,34 @@ def test_narrow_conv_matches_nn_conv():
     np.testing.assert_allclose(np.asarray(padded[..., :co]),
                                np.asarray(ref_out), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(padded[..., co:]), 0.0)
+
+
+def test_fb_loss_pillar_rows_match_map_rows(setup):
+    """The FB loss now consumes [B, M, 2] pillar rows; the reference
+    formulation masks the full BEV map by occupancy. One occupied pillar
+    == one masked map cell, so CE + Lovasz + IoU counters must agree."""
+    from pcaccumulation_tpu.train.loss import seg_loss
+
+    cfg, model, variables, batch = setup
+    results = model.apply(
+        variables, batch, train=False, mode="val",
+        rngs={"sample": jax.random.key(2)},
+    )
+    occ = results["occ_map"][..., 0] == 1
+    map_stats = seg_loss(
+        results["fb_seg_est"].reshape(-1, 2),
+        results["fb_seg_gt"][..., 0].astype(jnp.int32).reshape(-1),
+        occ.reshape(-1),
+    )
+    pil_stats = seg_loss(
+        results["fb_logit_pillar"].reshape(-1, 2),
+        results["fb_pillar_gt"].astype(jnp.int32).reshape(-1),
+        batch["pillar_valid"].reshape(-1),
+    )
+    for k in ("bce_loss", "lovasz_loss"):
+        np.testing.assert_allclose(float(pil_stats[k]), float(map_stats[k]),
+                                   rtol=2e-4, err_msg=k)
+    for k in ("intersection", "union"):
+        np.testing.assert_allclose(np.asarray(pil_stats["metric"][k]),
+                                   np.asarray(map_stats["metric"][k]),
+                                   rtol=1e-5, err_msg=k)

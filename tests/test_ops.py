@@ -432,3 +432,65 @@ def test_temporal_ungrid_folded_matches_unfolded(rng):
     ours = np.asarray(bilinear.temporal_ungrid_folded(
         folded, jnp.asarray(pts), jnp.asarray(tid), -4.0, t))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_row_shift_blocks_nonaligned_lanes(rng):
+    """T*C over 128 lanes (Waymo T=5, C=32 -> 160): row_shift_blocks must
+    chunk into <=128-lane launches (Mosaic rejects wider scratches) and
+    still match the single-pass XLA reference."""
+    from pcaccumulation_tpu.ops.bilinear import (
+        _row_shift_blocks_xla,
+        row_shift_blocks,
+    )
+
+    r, w, c, nb = 16, 24, 32, 5
+    img = jnp.asarray(rng.normal(size=(r, w, nb * c)).astype(np.float32))
+    shifts_np = (rng.random((r, nb)).astype(np.float32) - 0.5) * 2.5 * w
+    shifts = jnp.asarray(shifts_np)
+    ours = np.asarray(row_shift_blocks(img, shifts, nb))
+    assert ours.shape == (r, w, nb * c)
+    k = np.floor(shifts_np)
+    f = jnp.asarray((shifts_np - k).astype(np.float32))
+    ki = jnp.asarray(np.clip(k.astype(np.int32), -w, w))
+    ref = np.asarray(_row_shift_blocks_xla(img, ki, f, nb))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_gather_bev_at_pillars_grad_parity(rng):
+    """The unique-scatter custom VJP must match the autodiff gradient of
+    the plain take_along_axis formulation (incl. invalid rows)."""
+    from pcaccumulation_tpu.models.pillar_encoder import (
+        gather_bev_at_pillars,
+        pillar_flat_index,
+    )
+
+    b, t, h, w, c, m = 2, 3, 8, 8, 4, 20
+    canvas = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.integers(0, t, (b, m)), rng.integers(0, h, (b, m)),
+                  rng.integers(0, w, (b, m))], -1).astype(np.int32))
+    # make cells unique per sample (the voxelizer guarantees this)
+    flat = np.asarray(pillar_flat_index(coords, (h, w)))
+    for bi in range(b):
+        _, first = np.unique(flat[bi], return_index=True)
+        keep = np.zeros(m, bool)
+        keep[first] = True
+    valid = jnp.asarray(np.stack([
+        np.isin(np.arange(m), np.unique(flat[bi], return_index=True)[1])
+        for bi in range(b)
+    ]))
+
+    def ref(cv):
+        fc = cv.reshape(b, t * h * w, c)
+        idx = jnp.clip(pillar_flat_index(coords, (h, w)), 0, t * h * w - 1)
+        out = jnp.take_along_axis(fc, idx[..., None], axis=1)
+        return out * valid[..., None].astype(out.dtype)
+
+    cot = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    out_new, vjp_new = jax.vjp(
+        lambda cv: gather_bev_at_pillars(cv, coords, valid), canvas)
+    out_ref, vjp_ref = jax.vjp(ref, canvas)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_new(cot)[0]),
+                               np.asarray(vjp_ref(cot)[0]), atol=1e-6)

@@ -25,6 +25,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from bench import bench_cfg, make_batch
 from pcaccumulation_tpu.config import derive, load_config
 from pcaccumulation_tpu.data.dataset import prep_sample
@@ -52,10 +55,18 @@ def waymo_cfg(batch_size: int = 1):
 
 
 def time_fn(fn, args, n1=3, n2=10):
+    """Chained-loop differencing timer. The LAST positional arg must be the
+    batch dict: its "points" leaf is perturbed by i*1e-12 each iteration
+    (numerically inert, but formally loop-variant) — without it XLA's
+    while-loop LICM hoists the whole body and the timer reads ~0
+    (bench.py learned this the hard way; same defeat here)."""
+
     def many(n, *a):
         def body(i, carry):
             acc, aa = carry
-            out = fn(*aa)
+            batch = dict(aa[-1])
+            batch["points"] = batch["points"] + (i * jnp.float32(1e-12))
+            out = fn(*aa[:-1], batch)
             leaves = jax.tree.leaves(out)
             s = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves
                     if hasattr(x, "astype"))

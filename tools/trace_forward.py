@@ -29,7 +29,7 @@ from bench import bench_cfg, make_batch
 from pcaccumulation_tpu.models import MotionNet
 
 
-def capture(batch_size: int = 1):
+def capture(batch_size: int = 1, train: bool = False):
     cfg = bench_cfg(batch_size)
     batch = make_batch(cfg, batch_size)
     jbatch = jax.tree.map(jnp.asarray, batch)
@@ -38,18 +38,40 @@ def capture(batch_size: int = 1):
     variables = init_fn(
         {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
     )
-    fwd = jax.jit(
-        lambda v, b: model.apply(
-            v, b, train=False, mode="val", rngs={"sample": jax.random.key(7)}
-        )["rec_est"]
-    )
-    out = fwd(variables, jbatch)
+    if train:
+        from pcaccumulation_tpu.train.loss import fuse_loss
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        loss_w = cfg["loss"]
+        max_inst = cfg["capacity"]["max_instances"]
+
+        def loss_fn(p, bs, b):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs}, b, train=True, mode="train",
+                rngs={"sample": jax.random.key(7)}, mutable=["batch_stats"],
+            )
+            stats = fuse_loss(out, b, loss_w, max_inst)
+            return stats["loss"], mut["batch_stats"]
+
+        fwd = jax.jit(
+            lambda p, bs, b: jax.value_and_grad(loss_fn, has_aux=True)(p, bs, b)[1]
+        )
+        args = (params, batch_stats, jbatch)
+    else:
+        fwd = jax.jit(
+            lambda v, b: model.apply(
+                v, b, train=False, mode="val", rngs={"sample": jax.random.key(7)}
+            )["rec_est"]
+        )
+        args = (variables, jbatch)
+    out = fwd(*args)
     jax.block_until_ready(out)
     with open("/tmp/fwd_hlo.txt", "w") as f:
-        f.write(fwd.lower(variables, jbatch).compile().as_text())
+        f.write(fwd.lower(*args).compile().as_text())
     with jax.profiler.trace("/tmp/jaxtrace"):
         for _ in range(10):
-            out = fwd(variables, jbatch)
+            out = fwd(*args)
         jax.block_until_ready(out)
         time.sleep(1)
 
@@ -101,6 +123,7 @@ def report(n_iters: int = 10, top: int = 32):
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    capture(bs)
-    report()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bs = int(args[0]) if args else 1
+    capture(bs, train="--train" in sys.argv)
+    report(top=40 if "--train" in sys.argv else 32)
