@@ -39,6 +39,48 @@ def run():
         print(f"nn_pallas parity OK for N={n}, M={m}")
 
 
+def run_row_shift():
+    """Row-shift kernels must COMPILE on real Mosaic and match the XLA
+    reference at every production shape — interpret-mode CPU tests can't
+    catch Mosaic lowering failures (a T=5 canvas failed to compile in
+    round 3: scratches over 128 lanes are not lowerable, see
+    tools/PROFILE_r03.md)."""
+    import jax.numpy as jnp
+
+    from pcaccumulation_tpu.ops.bilinear import (
+        _row_shift_blocks_xla,
+        row_shift_blocks,
+    )
+
+    rng = np.random.default_rng(1)
+    # (rows, width, per-frame channels, frames): bench T=4, Waymo T=5,
+    # nuScenes T=11; both f32 and the production bf16
+    for r, w, c, nb, dtype in (
+        (288, 288, 32, 4, np.float32),
+        (290, 290, 32, 5, np.float32),
+        (288, 288, 32, 11, np.float32),
+        (288, 288, 32, 5, "bfloat16"),
+    ):
+        img_np = rng.normal(size=(r, w, nb * c)).astype(np.float32)
+        shifts_np = ((rng.random((r, nb)) - 0.5) * 2.5 * w).astype(np.float32)
+        img = jnp.asarray(img_np).astype(dtype)
+        shifts = jnp.asarray(shifts_np)
+        out = np.asarray(row_shift_blocks(img, shifts, nb)).astype(np.float32)
+        k = np.floor(shifts_np)
+        ref = np.asarray(_row_shift_blocks_xla(
+            jnp.asarray(img_np).astype(dtype),
+            jnp.asarray(np.clip(k.astype(np.int32), -w, w)),
+            jnp.asarray((shifts_np - k).astype(np.float32)).astype(dtype),
+            nb,
+        )).astype(np.float32)
+        # bf16: the pallas kernel lerps in its f32 scratch, the XLA
+        # reference lerps in bf16 — one-ulp rounding differences remain
+        tol = 1e-5 if dtype is np.float32 else 5e-2
+        np.testing.assert_allclose(out, ref, atol=tol)
+        print(f"row_shift_blocks parity OK for R={r} W={w} T={nb} {dtype}")
+
+
 if __name__ == "__main__":
     run()
+    run_row_shift()
     print("ALL TPU KERNEL TESTS PASSED")
