@@ -407,6 +407,12 @@ def _row_shift_blocks_pallas(img, ki, f, n_blocks: int, interpret: bool = False,
         f = jnp.pad(f, ((0, pad_r), (0, 0)))
     r = r0 + pad_r
 
+    # scalar-prefetch operands must be 1-D: a [R, nb] SMEM array is
+    # lane-padded to [R, 128] ints (576 KB instead of 18 KB at B=4·288
+    # rows — two of them overflow the 1 MB SMEM and the compile fails)
+    ki_flat = ki.reshape(-1)
+    f_flat = f.reshape(-1)
+
     def kernel(k_ref, f_ref, rows_ref, out_ref, scratch):
         step = pl.program_id(0)
 
@@ -418,8 +424,8 @@ def _row_shift_blocks_pallas(img, ki, f, n_blocks: int, interpret: bool = False,
 
         def body(i, _):
             for b in range(n_blocks):  # static unroll over frames
-                k = k_ref[step * rb + i, b]
-                fr = f_ref[step * rb + i, b].astype(scratch.dtype)
+                k = k_ref[(step * rb + i) * n_blocks + b]
+                fr = f_ref[(step * rb + i) * n_blocks + b].astype(scratch.dtype)
                 sl = scratch[i, pl.ds(w + k, w + 1), b * c:(b + 1) * c]
                 out_ref[i, :, b * c:(b + 1) * c] = (
                     sl[:w] * (1.0 - fr) + sl[1:] * fr
@@ -440,7 +446,7 @@ def _row_shift_blocks_pallas(img, ki, f, n_blocks: int, interpret: bool = False,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, w, ctot), img.dtype),
         interpret=interpret,
-    )(ki, f, img)
+    )(ki_flat, f_flat, img)
     return out[:r0]
 
 
