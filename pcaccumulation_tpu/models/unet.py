@@ -65,6 +65,10 @@ class UNet(nn.Module):
     depth: int = 5
     start_filts: int = 32
     dtype: object = None
+    keep_compute_dtype: bool = False  # every MotionNet consumer (heads,
+    # fold/warp, per-point gathers) immediately re-casts to the compute
+    # dtype; the f32 round trip materialized a 229 MB canvas at nuScenes
+    # scale and its convert alone traced 1.75 ms
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +86,7 @@ class UNet(nn.Module):
             outs = outs // 2
             x = UpConv(outs, self.dtype, name=f"up{i}")(encoder_outs[-(i + 2)], x)
         out = conv3x3(self.in_channels, "conv_final", self.dtype)(x)
-        return out.astype(in_dtype)
+        return out if self.keep_compute_dtype else out.astype(in_dtype)
 
 
 class UNetCustomWidths(nn.Module):

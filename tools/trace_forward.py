@@ -29,9 +29,36 @@ from bench import bench_cfg, make_batch
 from pcaccumulation_tpu.models import MotionNet
 
 
-def capture(batch_size: int = 1, train: bool = False):
-    cfg = bench_cfg(batch_size)
-    batch = make_batch(cfg, batch_size)
+def nuscene_cfg():
+    from pcaccumulation_tpu.config import derive, load_config
+
+    cfg = load_config("configs/nuscene.yaml")
+    cfg["capacity"] = {"max_points": 120000, "max_pillars": 40000,
+                       "max_instances": 48, "max_fg_points": 16384}
+    cfg["precision"]["compute_dtype"] = "bfloat16"
+    cfg["cluster"]["max_cluster_points"] = 8192
+    return derive(cfg)
+
+
+def nuscene_batch(cfg):
+    from pcaccumulation_tpu.data.dataset import prep_sample
+    from pcaccumulation_tpu.data.loader import collate
+    from pcaccumulation_tpu.data.synthetic import generate_sample
+
+    t = cfg["voxel_generator"]["n_sweeps"]
+    data = generate_sample(seed=0, n_frames=t, freq=20.0,
+                           n_static_clusters=40, n_dynamic=6,
+                           pts_per_cluster=900, pts_per_object=400, area=30.0)
+    return collate([prep_sample(data, cfg, augment=False)])
+
+
+def capture(batch_size: int = 1, train: bool = False, preset: str = "bench"):
+    if preset == "nuscene":
+        cfg = nuscene_cfg()
+        batch = nuscene_batch(cfg)
+    else:
+        cfg = bench_cfg(batch_size)
+        batch = make_batch(cfg, batch_size)
     jbatch = jax.tree.map(jnp.asarray, batch)
     model = MotionNet(cfg)
     init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
@@ -125,5 +152,6 @@ def report(n_iters: int = 10, top: int = 32):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bs = int(args[0]) if args else 1
-    capture(bs, train="--train" in sys.argv)
+    preset = "nuscene" if "--nuscene" in sys.argv else "bench"
+    capture(bs, train="--train" in sys.argv, preset=preset)
     report(top=40 if "--train" in sys.argv else 32)
