@@ -310,6 +310,16 @@ class MotionNet(nn.Module):
             results["offset_est"] = jax.vmap(put_rows)(
                 jnp.zeros((b, n, 2), off_sub.dtype), put_idx, off_sub
             )
+            # the MOS/offset losses consume these SUBSET rows directly:
+            # every decoded row is a (gt|est)-FG row and vice versa (up to
+            # the s_fb cap), so training on the subset both avoids the
+            # full-N scatter round trip in the backward and excludes the
+            # never-decoded overflow rows whose constant default logits
+            # the map formulation would count
+            results["mos_sub"] = mos_sub.astype(jnp.float32)
+            results["offset_sub"] = off_sub.astype(jnp.float32)
+            results["sub_sel"] = sel_fb
+            results["sub_valid"] = sel_fb_valid & gate
         else:
             mos, offset, mos_map = self.motionhead(
                 warped, transformed_points, fb_mask, self.pc_range[0], train=train

@@ -112,8 +112,21 @@ def offset_loss(batch, results, max_instances):
     center_pp = centers[jnp.clip(gid, 0, b * k - 1)].reshape(b, n, 3)
 
     est_comp = results["transformed_points"]
+    if "offset_sub" in results:
+        # loss rows restricted to the decoded FG subset: GT-FG rows are a
+        # subset of the (gt|est) selection, so gathering the per-point
+        # terms at sub_sel covers every masked row (up to the cap) while
+        # the instance CENTERS above still use every point
+        sel, sv = results["sub_sel"], results["sub_valid"]
+        center_pp = jnp.take_along_axis(center_pp, sel[..., None], axis=1)
+        est_comp = jnp.take_along_axis(est_comp, sel[..., None], axis=1)
+        est_off = results["offset_sub"]
+        fb_mask = (
+            jnp.take_along_axis(batch["fb_labels"], sel, axis=1) == 1
+        ) & sv
+    else:
+        est_off = results["offset_est"]
     gt_off = center_pp[..., :2] - est_comp[..., :2]
-    est_off = results["offset_est"]
 
     mf = fb_mask.astype(points.dtype)
     cnt = jnp.sum(mf) + _EPS
@@ -172,15 +185,26 @@ def fuse_loss(results: dict, batch: dict, weights: dict, max_instances: int) -> 
     stats["fb_loss"] = fb
     stats["fb_metric"] = fb_stats["metric"]
 
-    # MOS over (gt | est) foreground points (loss.py:139-162)
+    # MOS over (gt | est) foreground points (loss.py:139-162). When the
+    # model decoded a FG subset (capacity.max_fg_points), train on those
+    # rows directly: they are exactly the masked rows (up to the cap), and
+    # the [B, N, 2] scatter round trip stays out of the backward.
     fb_mask = (
         (batch["fb_labels"] == 1) | (results["fb_est_per_points"] == 1)
     ) & batch["point_valid"]
-    mos_stats = seg_loss(
-        results["mos_est"].reshape(-1, 2),
-        batch["sd_labels"].reshape(-1),
-        fb_mask.reshape(-1),
-    )
+    if "mos_sub" in results:
+        sel, sv = results["sub_sel"], results["sub_valid"]
+        mos_stats = seg_loss(
+            results["mos_sub"].reshape(-1, 2),
+            jnp.take_along_axis(batch["sd_labels"], sel, axis=1).reshape(-1),
+            sv.reshape(-1),
+        )
+    else:
+        mos_stats = seg_loss(
+            results["mos_est"].reshape(-1, 2),
+            batch["sd_labels"].reshape(-1),
+            fb_mask.reshape(-1),
+        )
     mos_gate = jnp.sum(fb_mask) > 0
     mos = jnp.where(
         mos_gate,

@@ -430,3 +430,39 @@ def test_fb_loss_pillar_rows_match_map_rows(setup):
         np.testing.assert_allclose(np.asarray(pil_stats["metric"][k]),
                                    np.asarray(map_stats["metric"][k]),
                                    rtol=1e-5, err_msg=k)
+
+
+def test_subset_loss_matches_map_loss():
+    """With max_fg_points set (and not exceeded), the MOS/offset losses
+    computed on the decoded-subset rows must equal the full-map
+    formulation: the subset rows ARE the masked rows."""
+    from pcaccumulation_tpu.train.loss import fuse_loss
+
+    cfg_full = tiny_cfg()
+    batch = tiny_batch(cfg_full)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+
+    cfg_sub = tiny_cfg()
+    cfg_sub["capacity"] = dict(cfg_sub["capacity"], max_fg_points=2048)
+
+    model_full = MotionNet(cfg_full)
+    model_sub = MotionNet(cfg_sub)
+    init_fn = jax.jit(
+        lambda rngs, b: model_full.init(rngs, b, train=False, mode="val")
+    )
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
+    )
+
+    outs = {}
+    for name, mdl in (("full", model_full), ("sub", model_sub)):
+        res = mdl.apply(variables, jbatch, train=False, mode="val",
+                        rngs={"sample": jax.random.key(2)})
+        outs[name] = fuse_loss(res, jbatch, cfg_full["loss"],
+                               cfg_full["capacity"]["max_instances"])
+    assert "mos_sub" not in (None,)  # structure sanity
+    for k in ("mos_loss", "offset_loss", "offset_l1_loss",
+              "offset_dir_loss", "offset_l2_error"):
+        np.testing.assert_allclose(float(outs["sub"][k]),
+                                   float(outs["full"][k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
