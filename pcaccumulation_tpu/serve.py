@@ -1,0 +1,182 @@
+"""Deployment inference API: a persistent, jit-once scene-flow predictor.
+
+The reference has no serving layer (its only inference surface is the
+per-scene test loop, libs/tester.py:23-114, which requires full GT
+labels). This module exposes the same test-time pipeline — voxelize ->
+MotionNet forward with on-device clustering and instance reconstruction
+— as a label-free library API for production use:
+
+    pred = Predictor(cfg, ckpt_path="snapshot/exp/model_best_metric.ckpt")
+    out = pred.predict(points, time_idx)       # one T-frame sequence
+    for out in pred.predict_stream(scans):     # overlapped host/device
+        ...
+
+Input is the raw sensor stream contract (per-frame sensor-coordinate
+points + frame index, exactly `raw_points`/`time_indice` of the dataset
+contract, SURVEY §2.3); no labels are needed. Outputs are trimmed to the
+points that survived crop/ground filtering.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcaccumulation_tpu.data.dataset import prep_sample
+from pcaccumulation_tpu.data.loader import collate
+from pcaccumulation_tpu.models import MotionNet
+from pcaccumulation_tpu.utils.checkpoint import load_checkpoint, partial_load
+
+
+_STEP_CACHE: dict = {}
+
+
+def _get_step(model):
+    """ONE jitted step per model config, shared across Predictors.
+
+    Two per-instance `jax.jit(lambda ...)` wrappers defined at the same
+    code location over equal-by-config flax modules collided in jax's
+    dispatch cache ("Execution supplied 199 buffers but compiled program
+    expected 201"); sharing a single wrapper per config makes the reuse
+    explicit and collision-free."""
+    key = repr(model)  # flax module repr includes the full config
+    fn = _STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def step(variables, batch, rng, _model=model):
+        r = _model.apply(variables, batch, train=False, mode="test",
+                         rngs={"sample": rng})
+        return {
+            "rec_points": r["rec_est"],
+            "transformed_points": r["transformed_points"],
+            "ego_motion": r["ego_motion_est"],
+            "mos": jnp.argmax(r["mos_est"], -1),
+            "fb": r["fb_est_per_points"],
+            "inst_labels": r["inst_labels_est"],
+            "offset": r["offset_est"],
+        }
+
+    return _STEP_CACHE.setdefault(key, jax.jit(step))
+
+
+class Predictor:
+    """Jit-once predictor over fixed capacities (cfg["capacity"]).
+
+    Every call pads to the same static shapes, so the XLA program
+    compiles exactly once; sequences larger than the capacities are
+    truncated the same way the training pipeline truncates.
+    """
+
+    def __init__(self, cfg, variables=None, ckpt_path: str | None = None,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.n_frames = cfg["voxel_generator"]["n_sweeps"]
+        self.model = MotionNet(cfg)
+        # fixed key: inference is DETERMINISTIC (same input -> same output);
+        # the "sample" rng only drives ego-motion keypoint subsampling
+        self._rng = jax.random.key(rng_seed)
+
+        batch = collate([prep_sample(self._dummy_scan(), cfg, augment=False)])
+        jbatch = jax.tree.map(jnp.asarray, batch)
+        if variables is None:
+            init_fn = jax.jit(
+                lambda rngs, b: self.model.init(rngs, b, train=False, mode="val")
+            )
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            if ckpt_path:
+                state = load_checkpoint(ckpt_path)
+                variables = dict(variables)
+                variables["params"] = partial_load(
+                    state["params"], variables["params"]
+                )
+                if "batch_stats" in state and state["batch_stats"]:
+                    variables["batch_stats"] = partial_load(
+                        state["batch_stats"], variables["batch_stats"]
+                    )
+        self.variables = variables
+
+        self._step = _get_step(self.model)
+
+    def _dummy_scan(self):
+        t = self.n_frames
+        pts = np.random.default_rng(0).uniform(-20, 20, (t * 64, 3)).astype(np.float32)
+        pts[:, 2] = np.abs(pts[:, 2]) * 0.1 + 0.5
+        return self._wrap(pts, np.repeat(np.arange(t), 64).astype(np.int32))
+
+    def _wrap(self, points, time_idx):
+        """Raw scan -> the dataset dict contract with neutral GT (the GT
+        fields only feed metric outputs in test mode)."""
+        t = self.n_frames
+        m = points.shape[0]
+        eye = np.broadcast_to(np.eye(4, dtype=np.float32), (t, 4, 4)).copy()
+        k = self.cfg["capacity"]["max_instances"]
+        inst_eye = np.broadcast_to(
+            np.eye(4, dtype=np.float32), (k, t, 4, 4)
+        ).copy()
+        zeros = np.zeros(m, np.int32)
+        return {
+            "raw_points": np.asarray(points, np.float32),
+            "time_indice": np.asarray(time_idx, np.int32),
+            "sd_labels": zeros, "fb_labels": zeros, "inst_labels": zeros,
+            "sem_labels": zeros, "ego_motion_gt": eye, "bbox_tsfm": inst_eye,
+        }
+
+    def _prep(self, points, time_idx):
+        return collate([
+            prep_sample(self._wrap(points, time_idx), self.cfg, augment=False)
+        ])
+
+    def _run(self, batch):
+        jbatch = jax.tree.map(jnp.asarray, batch)
+        out = self._step(self.variables, jbatch, self._rng)
+        valid = np.asarray(batch["point_valid"][0])
+        res = {k: np.asarray(v)[0][valid] for k, v in out.items()
+               if k not in ("ego_motion",)}
+        res["points"] = np.asarray(batch["points"][0])[valid]
+        res["time_idx"] = np.asarray(batch["time_idx"][0])[valid]
+        res["flow"] = res["rec_points"] - res["points"]
+        res["ego_motion"] = np.asarray(out["ego_motion"])[0]
+        return res
+
+    def predict(self, points: np.ndarray, time_idx: np.ndarray) -> dict:
+        """One T-frame sequence: points [m, 3] (per-frame sensor coords),
+        time_idx [m] in [0, n_frames). Returns numpy arrays over the
+        points that survived preprocessing: points, time_idx, rec_points
+        (accumulated anchor-frame cloud), flow, mos (1 = moving), fb
+        (1 = foreground), inst_labels, offset, and ego_motion [T, 4, 4]."""
+        return self._run(self._prep(points, time_idx))
+
+    def predict_stream(self, scans, prefetch: int = 2):
+        """Iterate over (points, time_idx) pairs, overlapping host-side
+        preprocessing with device compute (the tester's one-sample-delay
+        pipelining, train/tester.py)."""
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        err: list = []
+
+        def producer():
+            try:
+                for pts, tid in scans:
+                    q.put(self._prep(pts, tid))
+            except Exception as e:  # propagate, never deadlock the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield self._run(batch)
+        th.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,79 @@
+"""Deployment Predictor API: label-free streaming inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pcaccumulation_tpu.config import derive, load_config
+from pcaccumulation_tpu.data.synthetic import generate_sample
+from pcaccumulation_tpu.serve import Predictor
+
+
+def _tiny_cfg():
+    cfg = load_config()
+    cfg["voxel_generator"].update(
+        {"range": [-8, -8, -5, 8, 8, 3], "voxel_size": [0.25, 0.25, 8],
+         "n_sweeps": 3, "crop_range": [8, -5, 3]}
+    )
+    cfg["capacity"] = {"max_points": 6000, "max_pillars": 4000,
+                       "max_instances": 8}
+    cfg["data"].update({"n_frames": 3, "freq": 10.0, "max_speed": 20})
+    cfg["pose_estimation"]["n_kpts"] = 128
+    cfg["tpointnet"]["n_iterations"] = 1
+    cfg["tpointnet"]["min_points"] = 5
+    return derive(cfg)
+
+
+def _scan(seed):
+    data = generate_sample(
+        seed=seed, n_frames=3, freq=10.0, n_static_clusters=6, n_dynamic=2,
+        pts_per_cluster=150, pts_per_object=80, area=6.0,
+    )
+    return data["raw_points"], data["time_indice"]
+
+
+def test_predict_shapes_and_consistency():
+    pred = Predictor(_tiny_cfg())
+    pts, tid = _scan(0)
+    out = pred.predict(pts, tid)
+    n = out["points"].shape[0]
+    assert n > 0
+    for key, width in (("rec_points", 3), ("flow", 3), ("offset", 2)):
+        assert out[key].shape == (n, width), key
+        assert np.isfinite(out[key]).all(), key
+    for key in ("mos", "fb", "inst_labels", "time_idx"):
+        assert out[key].shape == (n,), key
+    assert set(np.unique(out["mos"])) <= {0, 1}
+    assert set(np.unique(out["fb"])) <= {0, 1}
+    np.testing.assert_allclose(out["flow"], out["rec_points"] - out["points"],
+                               atol=1e-5)
+    assert out["ego_motion"].shape == (3, 4, 4)
+    det = np.linalg.det(out["ego_motion"][:, :3, :3])
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
+
+
+def test_predict_stream_matches_predict():
+    pred = Predictor(_tiny_cfg())
+    scans = [_scan(s) for s in range(3)]
+    streamed = list(pred.predict_stream(iter(scans)))
+    assert len(streamed) == 3
+    direct = pred.predict(*scans[1])
+    np.testing.assert_allclose(streamed[1]["rec_points"],
+                               direct["rec_points"], atol=1e-4)
+
+
+def test_predict_stream_propagates_producer_errors():
+    pred = Predictor(_tiny_cfg())
+
+    def bad_scans():
+        yield _scan(0)
+        raise RuntimeError("sensor died")
+
+    it = pred.predict_stream(bad_scans())
+    next(it)
+    try:
+        list(it)
+    except RuntimeError as e:
+        assert "sensor died" in str(e)
+    else:
+        raise AssertionError("producer error was swallowed")
