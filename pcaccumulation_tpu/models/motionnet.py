@@ -74,6 +74,7 @@ class MotionNet(nn.Module):
             start_filts=cfg["unet"]["start_filts"],
             dtype=self.compute_dtype,
             keep_compute_dtype=True,
+            s2d_level0=cfg["unet"].get("s2d_level0", True),
         )
         # the heads consume the PRE-fold [B*T, H, W, C] UNet output: per-frame
         # convs measured 0.8+1.05 ms vs 1.41+2.72 ms for the block-diagonal
