@@ -231,6 +231,138 @@ class NarrowConv3x3(nn.Module):
         return out if self.keep_padded else out[..., :self.features]
 
 
+class S2DBatchNorm(nn.Module):
+    """BatchNorm over a space-to-depth tensor, per ORIGINAL channel.
+
+    The s2d layout holds each original channel 4x (one copy per 2x2
+    sub-position); correct BN statistics reduce over (N, H, W, sub-pos).
+    Param / batch_stats trees are identical to ``nn.BatchNorm`` on the
+    original map ([C] scale/bias/mean/var), so checkpoints are untouched.
+    Eval mode never reshapes: the running stats are tiled 4x and fuse
+    into the surrounding elementwise ops."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x_s2d, train: bool = False):
+        c = x_s2d.shape[-1] // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            xf = x_s2d.astype(jnp.float32)
+            n = xf.size // (4 * c)
+            # reduce (N, H, W) -> [4C], then fold the 4 sub-position
+            # blocks -> [C]: avoids materializing a [..., 4, C] view
+            s1 = jnp.sum(xf, axis=tuple(range(xf.ndim - 1)))
+            s2 = jnp.sum(jnp.square(xf), axis=tuple(range(xf.ndim - 1)))
+            mean = s1.reshape(4, c).sum(0) / (4 * n)
+            var = s2.reshape(4, c).sum(0) / (4 * n) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        dt = self.dtype or x_s2d.dtype
+        mul = (scale.astype(jnp.float32)
+               / jnp.sqrt(var + self.epsilon)).astype(dt)
+        add = (bias.astype(jnp.float32)
+               - mean * scale.astype(jnp.float32)
+               / jnp.sqrt(var + self.epsilon)).astype(dt)
+        return x_s2d.astype(dt) * jnp.tile(mul, 4) + jnp.tile(add, 4)
+
+
+class S2DPackedNarrowConv3x3(nn.Module):
+    """NarrowConv3x3 evaluated in s2d layout with a PACKED output: the
+    four sub-position blocks of `features` channels are packed into the
+    leading 4*features channels of one `pad_to`-lane map, i.e. output
+    channel block*features + o holds sub-position `block`'s channel `o`.
+    ``depth_to_space(out[..., :4*features])`` recovers the narrow map.
+    Unlike per-block padding this keeps the conv at `pad_to` output
+    lanes — the SAME FLOPs as the plain padded NarrowConv3x3 but at 4x
+    the channel width and 1/4 the spatial size (0.67 -> ~0.15 ms for the
+    2-ch FB head at 288^2-equivalent). Param tree identical to
+    NarrowConv3x3."""
+
+    features: int
+    pad_to: int = 128
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x_s2d):
+        from pcaccumulation_tpu.ops.s2d import s2d_expand_kernel
+
+        cin = x_s2d.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x_s2d, kernel, bias = nn.dtypes.promote_dtype(x_s2d, kernel, bias,
+                                                      dtype=self.dtype)
+        ke = s2d_expand_kernel(kernel)  # [3, 3, 4cin, 4*features]
+        kp = jnp.pad(ke, ((0, 0), (0, 0), (0, 0),
+                          (0, self.pad_to - 4 * self.features)))
+        bp = jnp.pad(jnp.tile(bias, 4), (0, self.pad_to - 4 * self.features))
+        out = jax.lax.conv_general_dilated(
+            x_s2d, kp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bp
+
+
+class S2DSegHead2D(nn.Module):
+    """The narrow (FB) SegHead2D evaluated on the s2d UNet output
+    (models/unet.py s2d_level0): conv0/bn/relu run 4x wider in s2d
+    layout and conv1 packs its four sub-position blocks into one
+    128-lane HALF-RESOLUTION map — no depth-to-space on the hot path;
+    the pillar gather reads the packed map directly
+    (pillar_encoder.gather_packed_s2d_at_pillars) and
+    ``depth_to_space(out[..., :4*out_channel])`` reconstructs the
+    full-resolution logit map for val-mode views. Same parameter pytree
+    as SegHead2D. Reference head: /root/reference/models/unet.py:259-277.
+
+    The wide (ego-feature, mid=64) head stays on the plain SegHead2D:
+    at 256 s2d channels the 4x FLOPs only break even
+    (tools/profile_s2d.py C=64 row), so s2d is a loss there."""
+
+    out_channel: int
+    dtype: object = None
+    keep_compute_dtype: bool = False
+    pad_narrow_out: bool = True  # accepted for SegHead2D signature
+    # compatibility; the packed output is always 128-lane
+
+    @nn.compact
+    def __call__(self, x_s2d, train: bool = False):
+        from pcaccumulation_tpu.models.unet import S2DConv3x3
+
+        assert self.out_channel < 8, (
+            "S2DSegHead2D is the narrow-head specialization; wide heads "
+            "measured no s2d win (tools/profile_s2d.py)"
+        )
+        in_dtype = x_s2d.dtype
+        if self.dtype is not None:
+            x_s2d = x_s2d.astype(self.dtype)
+        mid = max(x_s2d.shape[-1] // 4, self.out_channel)
+        x = S2DConv3x3(mid, dtype=self.dtype, name="conv0",
+                       kernel_init=nn.initializers.lecun_normal())(x_s2d)
+        x = S2DBatchNorm(momentum=0.9, name="bn", dtype=self.dtype)(
+            x, train=train
+        )
+        x = nn.relu(x)
+        out = S2DPackedNarrowConv3x3(self.out_channel, name="conv1",
+                                     dtype=self.dtype)(x)
+        return out if self.keep_compute_dtype else out.astype(in_dtype)
+
+
 class SegHead2D(nn.Module):
     """Conv3x3 -> BN -> ReLU -> Conv3x3 over [..., H, W, C] maps
     (unet.py:259-277).

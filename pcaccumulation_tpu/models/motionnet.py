@@ -22,10 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from pcaccumulation_tpu.models.egomotion import EgoMotionHead
-from pcaccumulation_tpu.models.layers import SegHead2D
+from pcaccumulation_tpu.models.layers import S2DSegHead2D, SegHead2D
+from pcaccumulation_tpu.ops.s2d import depth_to_space
 from pcaccumulation_tpu.models.pillar_encoder import (
     PillarFeatureNet,
     gather_bev_at_pillars,
+    gather_packed_s2d_at_pillars,
     pillar_stats,
     scatter_pillars_to_bev,
 )
@@ -68,19 +70,31 @@ class MotionNet(nn.Module):
             n_sweeps=vg["n_sweeps"],
             dtype=self.compute_dtype,
         )
+        # s2d level 0 is an exact reformulation (ops/s2d.py); active only
+        # when the grid is even (always for the 288^2 / production grids)
+        self.s2d_active = (
+            cfg["unet"].get("s2d_level0", True)
+            and cfg["unet"]["depth"] > 1
+            and self.grid_hw[0] % 2 == 0 and self.grid_hw[1] % 2 == 0
+        )
         self.unet = UNet(
             in_channels=cfg["unet"]["in_channels"],
             depth=cfg["unet"]["depth"],
             start_filts=cfg["unet"]["start_filts"],
             dtype=self.compute_dtype,
             keep_compute_dtype=True,
-            s2d_level0=cfg["unet"].get("s2d_level0", True),
+            s2d_level0=self.s2d_active,
+            also_return_s2d=self.s2d_active,
         )
         # the heads consume the PRE-fold [B*T, H, W, C] UNet output: per-frame
         # convs measured 0.8+1.05 ms vs 1.41+2.72 ms for the block-diagonal
         # folded form (the zero blocks are real FLOPs at 256 channels) and
-        # 2.1+3.1 ms for feature_group_count=T grouped convs on v5e
-        self.semseg_head = SegHead2D(
+        # 2.1+3.1 ms for feature_group_count=T grouped convs on v5e.
+        # The narrow FB head additionally runs in s2d layout with a packed
+        # half-resolution output (S2DSegHead2D — identical params/math);
+        # the wide (mid=64) ego head measured no s2d win and stays plain.
+        fb_head_cls = S2DSegHead2D if self.s2d_active else SegHead2D
+        self.semseg_head = fb_head_cls(
             2, dtype=self.compute_dtype, keep_compute_dtype=True,
             pad_narrow_out=self.compute_dtype is not None,
         )
@@ -165,7 +179,12 @@ class MotionNet(nn.Module):
         bev = canvas[..., :c]
         results["occ_map"] = jax.lax.stop_gradient(canvas[..., c:c + 1])
         results["fb_seg_gt"] = jax.lax.stop_gradient(canvas[..., c + 1:c + 2])
-        bev_feats = self.unet(bev.reshape(b * t, h, w, c))  # [B*T, H, W, Cf]
+        if self.s2d_active:
+            bev_feats, bev_feats_s2d = self.unet(bev.reshape(b * t, h, w, c))
+        else:
+            bev_feats = self.unet(bev.reshape(b * t, h, w, c))
+            bev_feats_s2d = None
+        # [B*T, H, W, Cf] (+ the pre-d2s s2d view for the heads)
         cf = bev_feats.shape[-1]
         # FOLD to the canonical post-UNet layout [B, H, W, T*Cf], t-minor:
         # T*Cf = 128 = the TPU lane width. Every consumer below (heads,
@@ -185,12 +204,26 @@ class MotionNet(nn.Module):
         # full-map f32 argmax reduce alone profiled 0.68 ms at 288^2
         # fb_logits may be 128-wide (pad_narrow_out: channels 2.. are zero);
         # slicing happens on the tiny post-gather rows / the f32 results view
-        fb_logits = self.semseg_head(bev_feats, train=train)
-        fb_logits = fb_logits.reshape(b, t, h, w, fb_logits.shape[-1])
-        results["fb_seg_est"] = fb_logits[..., :2].astype(jnp.float32)
-        fb_logit_pillar = gather_bev_at_pillars(
-            fb_logits, pillar_coords, pillar_valid
-        )  # [B, M, *]; invalid pillar rows are zero -> compare gives 0 (bg)
+        if self.s2d_active:
+            # packed half-res s2d logit map [B*T, H/2, W/2, 128] (8 real
+            # channels = 4 sub-position blocks x 2 logits); the pillar
+            # gather reads it directly, and the full-res map view below is
+            # pruned by XLA whenever the caller drops fb_seg_est
+            fb_packed = self.semseg_head(bev_feats_s2d, train=train)
+            results["fb_seg_est"] = depth_to_space(
+                fb_packed[..., :8]
+            ).reshape(b, t, h, w, 2).astype(jnp.float32)
+            fb_logit_pillar = gather_packed_s2d_at_pillars(
+                fb_packed.reshape(b, t, h // 2, w // 2, -1),
+                pillar_coords, pillar_valid, 2,
+            )  # [B, M, 2]
+        else:
+            fb_logits = self.semseg_head(bev_feats, train=train)
+            fb_logits = fb_logits.reshape(b, t, h, w, fb_logits.shape[-1])
+            results["fb_seg_est"] = fb_logits[..., :2].astype(jnp.float32)
+            fb_logit_pillar = gather_bev_at_pillars(
+                fb_logits, pillar_coords, pillar_valid
+            )  # [B, M, *]; invalid pillar rows are zero -> compare gives 0
         fb_est_pillar = (
             fb_logit_pillar[..., 1] > fb_logit_pillar[..., 0]
         ).astype(jnp.int32)  # [B, M]

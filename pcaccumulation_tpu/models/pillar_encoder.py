@@ -83,6 +83,53 @@ def scatter_pillars_to_bev(pillar_feats, pillar_coords, pillar_valid, n_frames, 
     return jax.vmap(one)(pillar_feats, flat, pillar_valid)
 
 
+def gather_packed_s2d_at_pillars(packed, pillar_coords, pillar_valid, n_real):
+    """Packed HALF-resolution s2d map [B, T, H/2, W/2, CL] -> [B, M, n_real]
+    rows at each pillar's full-resolution cell (t, y, x).
+
+    Produced by S2DPackedNarrowConv3x3: channel block (y&1)*2 + (x&1)
+    (width n_real) holds that sub-position's channels. The forward
+    gathers the full CL-wide row (narrow row gathers pay the 64x
+    lane-padding penalty) and selects the block on the tiny [B, M, 4]
+    view. The backward is a UNIQUE scatter-add at (cell, sub-position)
+    granularity: two pillars may share a half-res cell but never a
+    (cell, sub-position) pair, so cotangents never collide.
+    """
+    b, t, hs, ws, cl = packed.shape
+    r = t * hs * ws
+    y, x = pillar_coords[..., 1], pillar_coords[..., 2]
+    cell = (pillar_coords[..., 0] * (hs * ws)
+            + (y // 2) * ws + (x // 2)).astype(jnp.int32)
+    block = ((y % 2) * 2 + (x % 2)).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, r - 1)
+    flat = packed.reshape(b, r, cl)
+    safe_slot = jnp.where(pillar_valid, cell * 4 + block, r * 4)
+
+    @jax.custom_vjp
+    def gather(fc, cell_ix, slot_ix):
+        rows = jnp.take_along_axis(fc, cell_ix[..., None], axis=1)
+        sel = rows[..., :4 * n_real].reshape(b, -1, 4, n_real)
+        blk = (slot_ix % 4)[..., None, None]
+        return jnp.take_along_axis(sel, jnp.minimum(blk, 3), axis=2)[:, :, 0]
+
+    def fwd(fc, cell_ix, slot_ix):
+        return gather(fc, cell_ix, slot_ix), slot_ix
+
+    def bwd(slot_ix, g):
+        def one(s, gg):
+            cot = jnp.zeros((r * 4, n_real), g.dtype).at[s].add(
+                gg, mode="drop", unique_indices=True
+            )
+            return jnp.pad(cot.reshape(r, 4 * n_real),
+                           ((0, 0), (0, cl - 4 * n_real)))
+
+        return jax.vmap(one)(slot_ix, g), None, None
+
+    gather.defvjp(fwd, bwd)
+    out = gather(flat, cell, safe_slot)
+    return out * pillar_valid[..., None].astype(out.dtype)
+
+
 def gather_bev_at_pillars(canvas, pillar_coords, pillar_valid):
     """[B, T, H, W, C] -> [B, M, C] at each pillar's cell.
 

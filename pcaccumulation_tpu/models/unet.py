@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from pcaccumulation_tpu.ops.s2d import (
     depth_to_space,
-    s2d_concat,
     s2d_expand_kernel,
     s2d_group_max_pool,
     space_to_depth,
@@ -41,20 +40,39 @@ class S2DConv3x3(nn.Module):
 
     out_channels: int
     dtype: object = None
+    kernel_init: object = _XAVIER
+    split_at: int | None = None  # conv over a channel-concat input,
+    # WITHOUT materializing the concat: by linearity
+    # conv(concat(a, b), k) == conv(a, k[:, :, :split_at])
+    #                        + conv(b, k[:, :, split_at:]).
+    # The s2d concat interleaves narrow 32-lane channel blocks, which
+    # traced ~2x slower than the two 128-lane convs it replaces.
 
     @nn.compact
-    def __call__(self, x_s2d):
-        cin = x_s2d.shape[-1] // 4
-        kernel = self.param("kernel", _XAVIER, (3, 3, cin, self.out_channels))
+    def __call__(self, x_s2d, x2_s2d=None):
+        ca = x_s2d.shape[-1] // 4
+        cin = ca if self.split_at is None else ca + x2_s2d.shape[-1] // 4
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.out_channels))
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         if self.dtype is not None:
             x_s2d = x_s2d.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x_s2d, s2d_expand_kernel(kernel), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            if x2_s2d is not None:
+                x2_s2d = x2_s2d.astype(self.dtype)
+
+        def conv(v, k):
+            return jax.lax.conv_general_dilated(
+                v, s2d_expand_kernel(k), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if self.split_at is None:
+            y = conv(x_s2d, kernel)
+        else:
+            y = conv(x_s2d, kernel[:, :, :self.split_at]) + \
+                conv(x2_s2d, kernel[:, :, self.split_at:])
         return y + jnp.tile(bias, 4)
 
 
@@ -134,9 +152,8 @@ class UpConvS2D(nn.Module):
     def __call__(self, from_down_s2d, from_up):
         co = self.out_channels
         up = S2DUpsample2x2(co, self.dtype, name="upconv")(from_up)
-        skip_c = from_down_s2d.shape[-1] // 4
-        x = s2d_concat(up, co, from_down_s2d.astype(up.dtype), skip_c)
-        x = nn.relu(S2DConv3x3(co, self.dtype, name="conv1")(x))
+        x = nn.relu(S2DConv3x3(co, self.dtype, split_at=co,
+                               name="conv1")(up, from_down_s2d))
         x = nn.relu(S2DConv3x3(co, self.dtype, name="conv2")(x))
         return x
 
@@ -177,6 +194,9 @@ class UNet(nn.Module):
     # channels) in space-to-depth layout: same math, same params, but the
     # 3x3 convs go 4x wider and fill the MXU (tools/profile_s2d.py:
     # 0.58 -> 0.15 ms per conv at C=32, 288^2, bf16)
+    also_return_s2d: bool = False  # additionally return the pre-d2s
+    # conv_final output (None when the s2d path is inactive) so s2d-aware
+    # consumers (S2DSegHead2D) skip the d2s->s2d round trip
 
     @nn.compact
     def __call__(self, x):
@@ -208,13 +228,19 @@ class UNet(nn.Module):
                 x = UpConv(outs, self.dtype, name=f"up{i}")(
                     encoder_outs[-(i + 2)], x
                 )
+        out_s2d = None
         if s2d:
-            out = depth_to_space(
-                S2DConv3x3(self.in_channels, self.dtype, name="conv_final")(x)
-            )
+            out_s2d = S2DConv3x3(self.in_channels, self.dtype,
+                                 name="conv_final")(x)
+            out = depth_to_space(out_s2d)
         else:
             out = conv3x3(self.in_channels, "conv_final", self.dtype)(x)
-        return out if self.keep_compute_dtype else out.astype(in_dtype)
+        if not self.keep_compute_dtype:
+            out = out.astype(in_dtype)
+            out_s2d = None if out_s2d is None else out_s2d.astype(in_dtype)
+        if self.also_return_s2d:
+            return out, out_s2d
+        return out
 
 
 class UNetCustomWidths(nn.Module):

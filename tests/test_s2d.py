@@ -82,6 +82,85 @@ def test_unet_s2d_gradients_match():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_s2d_seghead_matches_plain_eval():
+    """d2s of the packed 8 real channels == the plain narrow head map."""
+    from pcaccumulation_tpu.models.layers import S2DSegHead2D, SegHead2D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 12, 4))
+    plain = SegHead2D(2, pad_narrow_out=False)
+    s2d = S2DSegHead2D(2)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    v2 = s2d.init(jax.random.PRNGKey(1), space_to_depth(x), train=False)
+    assert jax.tree_util.tree_map(jnp.shape, v) == \
+        jax.tree_util.tree_map(jnp.shape, v2)
+    ref = plain.apply(v, x, train=False)
+    packed = s2d.apply(v, space_to_depth(x), train=False)
+    np.testing.assert_array_equal(np.asarray(packed[..., 8:]), 0.0)
+    got = depth_to_space(packed[..., :8])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=3e-6, rtol=1e-5)
+
+
+def test_s2d_seghead_matches_plain_train_stats():
+    """Train mode: same outputs AND the same running-stat updates."""
+    from pcaccumulation_tpu.models.layers import S2DSegHead2D, SegHead2D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 12, 4)) * 2.0 + 0.5
+    plain = SegHead2D(2, pad_narrow_out=False)
+    s2d = S2DSegHead2D(2)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    ref, mut_a = plain.apply(v, x, train=True, mutable=["batch_stats"])
+    packed, mut_b = s2d.apply(v, space_to_depth(x), train=True,
+                              mutable=["batch_stats"])
+    got = depth_to_space(packed[..., :8])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=5e-6, rtol=1e-4)
+    fa, _ = jax.flatten_util.ravel_pytree(mut_a)
+    fb, _ = jax.flatten_util.ravel_pytree(mut_b)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               atol=5e-6, rtol=1e-4)
+
+
+def test_gather_packed_s2d_matches_full_map_gather():
+    """Values AND gradients of the packed half-res gather equal the
+    full-resolution map gather it replaces."""
+    from pcaccumulation_tpu.models.pillar_encoder import (
+        gather_bev_at_pillars,
+        gather_packed_s2d_at_pillars,
+    )
+
+    b, t, h, w, m = 2, 3, 8, 8, 25
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (b, t, h, w, 2))
+    kc = jax.random.split(jax.random.PRNGKey(1), 3)
+    coords = jnp.stack([
+        jax.random.randint(kc[0], (b, m), 0, t),
+        jax.random.randint(kc[1], (b, m), 0, h),
+        jax.random.randint(kc[2], (b, m), 0, w),
+    ], axis=-1)
+    valid = jax.random.uniform(jax.random.PRNGKey(2), (b, m)) < 0.8
+    wts = jax.random.normal(jax.random.PRNGKey(3), (b, m, 2))
+
+    def pack(y):
+        s = space_to_depth(y.reshape(b * t, h, w, 2))
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, 120)))
+        return s.reshape(b, t, h // 2, w // 2, 128)
+
+    def f_ref(y):
+        return jnp.sum(gather_bev_at_pillars(y, coords, valid) * wts)
+
+    def f_new(y):
+        return jnp.sum(
+            gather_packed_s2d_at_pillars(pack(y), coords, valid, 2) * wts
+        )
+
+    np.testing.assert_allclose(float(f_ref(y)), float(f_new(y)), rtol=1e-5)
+    ga = jax.grad(f_ref)(y)
+    gb = jax.grad(f_new)(y)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-6, rtol=1e-5)
+
+
 def test_unet_s2d_odd_grid_falls_back():
     """Odd H/W cannot block: the flag silently falls back to plain convs."""
     b = UNet(in_channels=4, depth=2, start_filts=4, s2d_level0=True)
