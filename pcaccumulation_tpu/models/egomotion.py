@@ -77,12 +77,16 @@ class EgoMotionHead(nn.Module):
         point_valid,    # [B, N] bool
         ego_motion_gt,  # [B, T, 4, 4]
         point_bg=None,  # [B, N] bool — estimated background points (ICP)
+        feats_fn=None,  # optional: top_idx [B, T, n] -> [B, T, n, C]
+        # L2-normalised f32 features at the sampled pillars. When given,
+        # pillar_feats may be None — the caller evaluates its feature
+        # head ONLY at the sampled cells (sparse eval path).
     ) -> dict:
         # affinity parameters (egomotion.py:41-42)
         alpha = self.param("alpha", nn.initializers.constant(-5.0), ())
         beta = self.param("beta", nn.initializers.constant(-5.0), ())
 
-        b, m, c = pillar_feats.shape
+        b, m = pillar_valid.shape
         t_frames = self.n_sweeps
         n = self.n_kpts
         pairs, chained_src = pair_lists(t_frames, self.seq_pose)
@@ -116,7 +120,10 @@ class EgoMotionHead(nn.Module):
             )
             return out.reshape((b, t_frames, n) + arr.shape[2:])
 
-        samp_feats = take(pillar_feats, top_idx)  # [B, T, n, C]
+        if feats_fn is not None:
+            samp_feats = feats_fn(top_idx)        # [B, T, n, C]
+        else:
+            samp_feats = take(pillar_feats, top_idx)  # [B, T, n, C]
         samp_coords = take(pillar_mean, top_idx)  # [B, T, n, 3]
 
         # ---- pairwise OT + Kabsch over all pairs at once ------------------

@@ -363,6 +363,30 @@ class S2DSegHead2D(nn.Module):
         return out if self.keep_compute_dtype else out.astype(in_dtype)
 
 
+class FlatConv3x3(nn.Module):
+    """A 3x3 conv evaluated on pre-gathered [S, 3, 3, Cin] windows as one
+    [S, 9*Cin] x [9*Cin, Cout] matmul. Parameter pytree identical to
+    ``nn.Conv(Cout, (3, 3))`` (kernel [3, 3, Cin, Cout] + bias), so the
+    sparse and dense head paths share checkpoints."""
+
+    out_channel: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, win):
+        s, kh, kw, cin = win.shape
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (kh, kw, cin, self.out_channel))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+        win, kernel, bias = nn.dtypes.promote_dtype(
+            win, kernel, bias, dtype=self.dtype
+        )
+        out = win.reshape(s, kh * kw * cin) @ kernel.reshape(
+            kh * kw * cin, self.out_channel
+        )
+        return out + bias
+
+
 class SegHead2D(nn.Module):
     """Conv3x3 -> BN -> ReLU -> Conv3x3 over [..., H, W, C] maps
     (unet.py:259-277).
@@ -379,7 +403,34 @@ class SegHead2D(nn.Module):
     # zero-padded extra channels; the caller slices AFTER any gather
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x_s2d=None, centers=None):
+        if centers is not None:
+            # SPARSE eval: the eval-mode graph only reads this head's map
+            # at T*n_kpts sampled pillar cells (egomotion.py top_k), so
+            # conv0/bn/relu run dense but 4x-wide in s2d layout (the fast
+            # conv shape for 32-in channels) and conv1 is evaluated ONLY
+            # at the sampled cells: 3x3 windows gathered from the s2d map
+            # + one [S, 9*mid] x [9*mid, out] matmul. Identical parameter
+            # pytree and math as the dense path (gradients not needed:
+            # eval only). centers = (bt, y, x) flat int32 arrays.
+            assert not train, "sparse head evaluation is eval-only"
+            from pcaccumulation_tpu.models.unet import S2DConv3x3
+            from pcaccumulation_tpu.ops.s2d import gather_s2d_3x3_windows
+
+            h = x_s2d
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            mid = max(h.shape[-1] // 4, self.out_channel)
+            h = S2DConv3x3(mid, dtype=self.dtype, name="conv0",
+                           kernel_init=nn.linear.default_kernel_init)(h)
+            h = S2DBatchNorm(momentum=0.9, name="bn", dtype=self.dtype)(
+                h, train=False
+            )
+            h = nn.relu(h)
+            win = gather_s2d_3x3_windows(h, *centers)  # [S, 3, 3, mid]
+            return FlatConv3x3(self.out_channel, name="conv1",
+                               dtype=self.dtype)(win)
+
         in_dtype = x.dtype
         if self.dtype is not None:
             x = x.astype(self.dtype)

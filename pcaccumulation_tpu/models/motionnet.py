@@ -241,22 +241,56 @@ class MotionNet(nn.Module):
         results["fb_est_per_points"] = fb_est_point
 
         # ---- 4. ego motion (motionnet.py:198-201) --------------------------
-        ego_feats = self.ego_feats_head(bev_feats, train=train)  # [B*T,H,W,C]
-        ego_feats_pillar = gather_bev_at_pillars(
-            ego_feats.reshape(b, t, h, w, -1), pillar_coords, pillar_valid
-        )  # [B, M, C]
-        # L2-normalize AFTER the pillar gather: row-normalization commutes
-        # with a row gather, and [B,M,C] is ~13x smaller than the BEV map
-        # (the full-map div + its layout copy profiled ~0.7 ms at 288^2);
-        # f32 from here on — Sinkhorn/Kabsch need full precision
-        ego_feats_pillar = ego_feats_pillar.astype(jnp.float32)
-        # eps INSIDE the sqrt: invalid pillar rows are exactly zero after the
-        # masked gather, and d||x||/dx at x=0 is NaN with the (norm + eps)
-        # form — sqrt(sum + eps) has a zero gradient there instead
-        ego_feats_pillar = ego_feats_pillar / jnp.sqrt(
-            jnp.sum(jnp.square(ego_feats_pillar), axis=-1, keepdims=True)
-            + 1e-12
+        def _l2_normalize(f):
+            # eps INSIDE the sqrt: invalid pillar rows are exactly zero
+            # after the masked gather, and d||x||/dx at x=0 is NaN with
+            # the (norm + eps) form — sqrt(sum + eps) has a zero gradient
+            f = f.astype(jnp.float32)
+            return f / jnp.sqrt(
+                jnp.sum(jnp.square(f), axis=-1, keepdims=True) + 1e-12
+            )
+
+        sparse_ego = (
+            self.s2d_active and not train
+            and self.cfg["pose_estimation"].get("sparse_eval", True)
         )
+        if sparse_ego:
+            # eval only reads the ego-feature maps at the T*n_kpts cells
+            # the head samples, so the dense conv pair + full-pillar
+            # gather (1.3 ms traced at bench shapes) collapse to an s2d
+            # conv0 + per-cell sparse conv1 (SegHead2D centers path)
+            def ego_feats_fn(top_idx):  # [B, T, n] pillar indices
+                flat_idx = top_idx.reshape(b, -1)  # [B, T*n]
+                coords = jnp.take_along_axis(
+                    pillar_coords, flat_idx[..., None], axis=1
+                )  # [B, T*n, 3] = (t, y, x)
+                bt_map = (
+                    jnp.arange(b, dtype=jnp.int32)[:, None] * t
+                    + jnp.clip(coords[..., 0], 0, t - 1)
+                ).reshape(-1)
+                yy = jnp.clip(coords[..., 1], 0, h - 1).reshape(-1)
+                xx = jnp.clip(coords[..., 2], 0, w - 1).reshape(-1)
+                feats = self.ego_feats_head(
+                    None, train=False, x_s2d=bev_feats_s2d,
+                    centers=(bt_map, yy, xx),
+                )  # [B*T*n, C]
+                return _l2_normalize(
+                    feats.reshape(b, t, -1, feats.shape[-1])
+                )
+
+            ego_feats_pillar = None
+        else:
+            ego_feats = self.ego_feats_head(bev_feats, train=train)
+            ego_feats_pillar = gather_bev_at_pillars(
+                ego_feats.reshape(b, t, h, w, -1), pillar_coords, pillar_valid
+            )  # [B, M, C]
+            # L2-normalize AFTER the pillar gather: row-normalization
+            # commutes with a row gather, and [B,M,C] is ~13x smaller than
+            # the BEV map (the full-map div + its layout copy profiled
+            # ~0.7 ms at 288^2); f32 from here on — Sinkhorn/Kabsch need
+            # full precision
+            ego_feats_pillar = _l2_normalize(ego_feats_pillar)
+            ego_feats_fn = None
         ego = self.ego_motion_head(
             ego_feats_pillar,
             pillar_mean,
@@ -268,6 +302,7 @@ class MotionNet(nn.Module):
             point_valid,
             ego_motion_gt,
             point_bg=(fb_est_point == 0) & point_valid,
+            feats_fn=ego_feats_fn,
         )
         results.update(ego)
 

@@ -93,3 +93,47 @@ def s2d_group_max_pool(x, c):
     [B, H, W, 4C] -> [B, H, W, C]."""
     b, h, w, _ = x.shape
     return x.reshape(b, h, w, 4, c).max(axis=3)
+
+
+def gather_s2d_3x3_windows(x_s2d, bt, y, x):
+    """Gather the 3x3 FULL-RESOLUTION window centred at pixel (y, x) of
+    frame-map `bt` out of an s2d tensor, with SAME zero-pad semantics.
+
+    x_s2d [BT, Hs, Ws, 4C]; bt/y/x flat int32 [S] (y, x in full-res
+    pixel coordinates, i.e. [0, 2*Hs)). Returns [S, 3, 3, C].
+
+    The 3 consecutive full-res rows/cols around any pixel span exactly 2
+    s2d cells, so each window is FOUR 4C-wide row gathers (the fast
+    gather shape on v5e: tools/profile_sparse_head.py measures this at
+    ~0.24 ms for S=4096 vs 6.4 ms for 2-D windowed dynamic slices) plus
+    a parity select. Border windows read a zero pad ring — exactly the
+    SAME-conv zeros of a dense 3x3 conv on the full-res map.
+    """
+    btn, hs, ws, c4 = x_s2d.shape
+    c = c4 // 4
+    s = bt.shape[0]
+    xp = jnp.pad(x_s2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    flat = xp.reshape(btn * (hs + 2) * (ws + 2), c4)
+    # top-left s2d cell of the 2x2 block covering rows y-1..y+1 (+1 pad)
+    cy0 = (y - 1) // 2 + 1
+    cx0 = (x - 1) // 2 + 1
+    base = (bt * (hs + 2) + cy0) * (ws + 2) + cx0
+    off = (jnp.arange(2, dtype=base.dtype)[:, None] * (ws + 2)
+           + jnp.arange(2, dtype=base.dtype)[None, :]).reshape(-1)
+    blk = flat[base[:, None] + off[None, :]]  # [S, 4, 4C]
+    # sub-position layout: block (r, s) owns channels [(r*2+s)*C, ...)
+    blk = (
+        blk.reshape(s, 2, 2, 2, 2, c)      # cy cx sy sx C
+        .transpose(0, 1, 3, 2, 4, 5)       # cy sy cx sx C
+        .reshape(s, 4, 4, c)               # full-res 4x4 block
+    )
+    oy = (y - 1) % 2
+    ox = (x - 1) % 2
+    win = blk[:, 0:3, 0:3]
+    for a in (0, 1):
+        for d in (0, 1):
+            if a == 0 and d == 0:
+                continue
+            m = ((oy == a) & (ox == d))[:, None, None, None]
+            win = jnp.where(m, blk[:, a:a + 3, d:d + 3], win)
+    return win

@@ -169,3 +169,75 @@ def test_unet_s2d_odd_grid_falls_back():
         # depth-2 UNet needs H,W divisible by 2 for its own pooling; odd
         # input is invalid for the architecture itself
         b.init(jax.random.PRNGKey(3), x)
+
+
+def test_gather_s2d_3x3_windows_matches_dense_windows():
+    """The sparse window gather == 3x3 SAME windows of the full-res map."""
+    from pcaccumulation_tpu.ops.s2d import gather_s2d_3x3_windows
+
+    rng = np.random.default_rng(0)
+    bt_n, h, w, c = 3, 10, 8, 5
+    x = jnp.asarray(rng.normal(size=(bt_n, h, w, c)).astype(np.float32))
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    s = 64
+    bt = rng.integers(0, bt_n, s)
+    yy = rng.integers(0, h, s)
+    xx = rng.integers(0, w, s)
+    got = gather_s2d_3x3_windows(
+        space_to_depth(x), jnp.asarray(bt, jnp.int32),
+        jnp.asarray(yy, jnp.int32), jnp.asarray(xx, jnp.int32),
+    )
+    for i in range(s):
+        ref = xp[bt[i], yy[i]:yy[i] + 3, xx[i]:xx[i] + 3]
+        np.testing.assert_array_equal(np.asarray(got[i]), ref)
+
+
+def test_seghead_sparse_centers_matches_dense_eval():
+    """SegHead2D(centers=...) == the dense head map read at the centers."""
+    from pcaccumulation_tpu.models.layers import SegHead2D
+
+    rng = np.random.default_rng(1)
+    bt_n, h, w, c = 4, 12, 10, 6
+    x = jnp.asarray(rng.normal(size=(bt_n, h, w, c)).astype(np.float32))
+    head = SegHead2D(8)
+    v = head.init(jax.random.PRNGKey(1), x, train=False)
+    # push the running stats away from the init (mean 0 / var 1) so the
+    # test distinguishes running-stat handling
+    v = jax.tree.map(lambda a: a, v)
+    bs = {"bn": {"mean": jnp.asarray(rng.normal(size=8), jnp.float32),
+                 "var": jnp.asarray(rng.uniform(0.5, 2.0, 8), jnp.float32)}}
+    v = {"params": v["params"], "batch_stats": bs}
+    dense = head.apply(v, x, train=False)
+    s = 96
+    bt = jnp.asarray(rng.integers(0, bt_n, s), jnp.int32)
+    yy = jnp.asarray(rng.integers(0, h, s), jnp.int32)
+    xx = jnp.asarray(rng.integers(0, w, s), jnp.int32)
+    sparse = head.apply(v, None, train=False, x_s2d=space_to_depth(x),
+                        centers=(bt, yy, xx))
+    ref = np.asarray(dense)[np.asarray(bt), np.asarray(yy), np.asarray(xx)]
+    np.testing.assert_allclose(np.asarray(sparse), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_motionnet_sparse_ego_matches_dense():
+    """Full val forward: sparse-eval ego path == dense path (same rngs)."""
+    from tests.test_model import tiny_cfg, tiny_batch
+    from pcaccumulation_tpu.models import MotionNet
+
+    cfg = tiny_cfg()
+    batch = jax.tree.map(jnp.asarray, tiny_batch(cfg))
+    model_d = MotionNet({**cfg, "pose_estimation":
+                         {**cfg["pose_estimation"], "sparse_eval": False}})
+    model_s = MotionNet({**cfg, "pose_estimation":
+                         {**cfg["pose_estimation"], "sparse_eval": True}})
+    rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    v = model_d.init(rngs, batch, train=False, mode="val")
+    out_d = model_d.apply(v, batch, train=False, mode="val",
+                          rngs={"sample": jax.random.key(7)})
+    out_s = model_s.apply(v, batch, train=False, mode="val",
+                          rngs={"sample": jax.random.key(7)})
+    np.testing.assert_allclose(
+        np.asarray(out_d["ego_motion_est"]), np.asarray(out_s["ego_motion_est"]),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_d["rec_est"]), np.asarray(out_s["rec_est"]),
+        atol=1e-3, rtol=1e-3)

@@ -136,9 +136,37 @@ def main():
         h = jax.nn.relu(h * scale + bias)
         return h.reshape(S, 9 * MID) @ k1.reshape(9 * MID, OUT)
 
+    # ---- s2d formulation: conv0 dense in s2d (fast), conv1 sparse ----
+    # conv0 output lives as a padded s2d map [BT, 146, 146, 4*MID]; the
+    # 3x3 full-res window of a sample spans a 2x2 s2d cell block -> 4
+    # row gathers of 256-wide rows per sample, then a parity select.
+    hs = H // 2 + 2
+    xs2d = jax.random.normal(k, (BT, hs, hs, 4 * MID), jnp.bfloat16)
+
+    def sparse_s2d_conv1(xs, k1):
+        flat = xs.reshape(BT * hs * hs, 4 * MID)
+        cy0 = (yy - 1) // 2 + 1
+        cx0 = (xx - 1) // 2 + 1
+        base = (bt * hs + cy0) * hs + cx0
+        off = (jnp.arange(2)[:, None] * hs + jnp.arange(2)[None, :]).reshape(-1)
+        blk = flat[base[:, None] + off[None, :]]  # [S, 4, 4*MID]
+        # s2d channels = [sy*2+sx] blocks of MID
+        blk = blk.reshape(S, 2, 2, 2, 2, MID)  # cy cx sy sx C
+        blk = blk.transpose(0, 1, 3, 2, 4, 5).reshape(S, 4, 4, MID)
+        oy = (yy - 1) % 2
+        ox = (xx - 1) % 2
+        win = jnp.zeros((S, 3, 3, MID), blk.dtype)
+        for a in (0, 1):
+            for c in (0, 1):
+                m = ((oy == a) & (ox == c))[:, None, None, None]
+                win = jnp.where(m, blk[:, a:a + 3, c:c + 3], win)
+        return win.reshape(S, 9 * MID) @ k1.reshape(9 * MID, OUT)
+
     d = timeit(dense, x, k0, k1)
     s2 = timeit(sparse_im2col, x, k0, k1)
     sr = timeit(sparse_rows, x, k0, k1)
+    ss = timeit(sparse_s2d_conv1, xs2d, k1)
+    print(f"s2d sparse conv1 (gather+mm) {ss:8.1f} us")
     g = timeit(lambda x: gather_patches(x, bt, yy, xx, 2), x)
     gr = timeit(lambda x: gather_patches_rows(x, bt, yy, xx, 2), x)
     g3 = timeit(lambda x: gather_patches_rows3(x, bt, yy, xx, 2), x)
