@@ -22,6 +22,14 @@ def tiny_cfg():
     cfg["pose_estimation"]["n_kpts"] = 128
     cfg["tpointnet"]["n_iterations"] = 2
     cfg["tpointnet"]["min_points"] = 5
+    # the behavioural tests don't need production model capacity, and on
+    # the single-core CI host XLA compile time scales with graph size:
+    # shrink the op-graph (full-depth parity is covered separately by
+    # tests/test_s2d.py and tests/test_convert.py)
+    cfg["unet"]["depth"] = 3
+    cfg["pillar_encoder"]["depth"] = 2
+    cfg["pose_estimation"]["sinkhorn_iter"] = 2
+    cfg["cluster"]["bfs_iters"] = 8
     from pcaccumulation_tpu.config import derive
 
     return derive(cfg)

@@ -21,6 +21,11 @@ def _tiny_cfg():
     cfg["pose_estimation"]["n_kpts"] = 128
     cfg["tpointnet"]["n_iterations"] = 1
     cfg["tpointnet"]["min_points"] = 5
+    # small op-graph: XLA compile dominates on the single-core CI host
+    cfg["unet"]["depth"] = 3
+    cfg["pillar_encoder"]["depth"] = 2
+    cfg["pose_estimation"]["sinkhorn_iter"] = 2
+    cfg["cluster"]["bfs_iters"] = 8
     return derive(cfg)
 
 
