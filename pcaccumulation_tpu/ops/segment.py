@@ -15,6 +15,33 @@ import jax.numpy as jnp
 
 _NEG_INF = -1e30
 
+# Below this segment count a sum-reduction runs as a one-hot matmul on the
+# MXU instead of a scatter: at [16384 rows, 129 segs] the scatter costs
+# 80-220 us on v5e while the matmul is below measurement noise (<10 us,
+# tools/profile_tpn_seg.py). FLOPs stay trivial (<= 2*N*256*C) and the
+# VJP is another tiny matmul instead of a gather.
+_DENSE_SEG_MAX = 256
+
+
+def _dense_masked_segment_sum(data, segment_ids, valid, num_segments: int):
+    """Segment sum as one-hot @ data. ids outside [0, num_segments) and
+    invalid rows contribute nothing (their one-hot row is all zero)."""
+    oh = segment_ids[:, None] == jnp.arange(num_segments, dtype=jnp.int32)[None]
+    if valid is not None:
+        oh = oh & valid.reshape(-1, 1)
+    flat = data.reshape(data.shape[0], -1)
+    if flat.dtype == jnp.float32:
+        out = jax.lax.dot_general(
+            oh.astype(flat.dtype), flat, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out = jax.lax.dot_general(
+            oh.astype(flat.dtype), flat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(flat.dtype)
+    return out.reshape((num_segments,) + data.shape[1:])
+
 
 def segment_sum(data, segment_ids, num_segments: int):
     """data [N, ...] summed into [num_segments, ...]."""
@@ -79,6 +106,8 @@ def masked_seg_pool_max(data, seg_ids, valid, num_segments: int,
 
 def masked_segment_sum(data, segment_ids, valid, num_segments: int,
                        indices_are_sorted: bool = False):
+    if num_segments <= _DENSE_SEG_MAX:
+        return _dense_masked_segment_sum(data, segment_ids, valid, num_segments)
     masked = data * valid.reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)
     return jax.ops.segment_sum(masked, segment_ids, num_segments=num_segments,
                                indices_are_sorted=indices_are_sorted)
@@ -88,8 +117,8 @@ def masked_segment_mean(data, segment_ids, valid, num_segments: int, eps: float 
                         indices_are_sorted: bool = False):
     total = masked_segment_sum(data, segment_ids, valid, num_segments,
                                indices_are_sorted=indices_are_sorted)
-    count = jax.ops.segment_sum(
-        valid.astype(data.dtype), segment_ids, num_segments=num_segments,
+    count = masked_segment_sum(
+        valid.astype(data.dtype), segment_ids, valid, num_segments,
         indices_are_sorted=indices_are_sorted,
     )
     return total / jnp.maximum(count, eps).reshape((num_segments,) + (1,) * (data.ndim - 1))
@@ -97,6 +126,10 @@ def masked_segment_mean(data, segment_ids, valid, num_segments: int, eps: float 
 
 def segment_count(segment_ids, valid, num_segments: int,
                   indices_are_sorted: bool = False):
+    if num_segments <= _DENSE_SEG_MAX:
+        return _dense_masked_segment_sum(
+            valid.astype(jnp.float32), segment_ids, valid, num_segments
+        )
     return jax.ops.segment_sum(
         valid.astype(jnp.float32), segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
