@@ -155,6 +155,11 @@ def test_full_state_dict_converts_into_model_tree():
     from pcaccumulation_tpu.models import MotionNet
 
     cfg = tiny_cfg()
+    # tiny_cfg shrinks the op-graph for the behavioural tests; the converter
+    # round-trip must cover the PRODUCTION parameter tree (depth-5 unet,
+    # depth-3 pillar encoder) that build_reference_shaped_state_dict emits.
+    cfg["unet"]["depth"] = 5
+    cfg["pillar_encoder"]["depth"] = 3
     batch = tiny_batch(cfg)
     model = MotionNet(cfg)
     jbatch = jax.tree.map(jnp.asarray, batch)
