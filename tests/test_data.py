@@ -220,3 +220,52 @@ def test_loader_process_sharding():
             seen.extend(batch["x"][:, 0].tolist())
     assert len(seen) == len(set(seen))  # disjoint
     assert len(seen) == 3 * len(loaders[0]) * 2
+
+
+# ------------------------------------------------------- ground fitting ---
+
+def test_ground_plane_fit_recovers_tilted_plane():
+    from pcaccumulation_tpu.data.ground import fit_ground_plane, non_ground_mask
+    rng = np.random.default_rng(0)
+    # tilted ground: z = 0.05x - 0.02y - 1.5, plus objects above it
+    xy = rng.uniform(-40, 40, size=(4000, 2))
+    gz = 0.05 * xy[:, 0] - 0.02 * xy[:, 1] - 1.5
+    ground = np.concatenate([xy, (gz + rng.normal(0, 0.03, 4000))[:, None]], 1)
+    obj_xy = rng.uniform(-30, 30, size=(600, 2))
+    obj_z = (0.05 * obj_xy[:, 0] - 0.02 * obj_xy[:, 1] - 1.5
+             + rng.uniform(0.8, 2.5, 600))
+    objects = np.concatenate([obj_xy, obj_z[:, None]], 1)
+    pts = np.concatenate([ground, objects])
+
+    normal, d, is_ground = fit_ground_plane(pts)
+    true_n = np.array([-0.05, 0.02, 1.0])
+    true_n /= np.linalg.norm(true_n)
+    assert abs(normal @ true_n) > 0.999          # < ~2.5 deg off
+    assert is_ground[:4000].mean() > 0.98        # ground kept
+    assert is_ground[4000:].mean() < 0.02        # objects kept out
+    mask = non_ground_mask(pts)
+    np.testing.assert_array_equal(mask, ~is_ground)
+
+
+def test_ground_plane_fit_beats_height_threshold_on_slope():
+    # on an 8%-grade slope a flat z-cut misclassifies; the plane fit doesn't
+    from pcaccumulation_tpu.data.ground import non_ground_mask
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-50, 50, size=6000)
+    y = rng.uniform(-50, 50, size=6000)
+    z = 0.08 * x - 1.6 + rng.normal(0, 0.02, 6000)
+    pts = np.stack([x, y, z], 1)
+    keep = non_ground_mask(pts)
+    assert keep.mean() < 0.02                    # plane fit: all ground
+    flat_cut_keep = z > -1.3                     # height threshold keeps 40%+
+    assert flat_cut_keep.mean() > 0.3
+
+
+def test_ground_plane_fit_edge_cases():
+    from pcaccumulation_tpu.data.ground import fit_ground_plane
+    n, d, g = fit_ground_plane(np.zeros((0, 3)))
+    assert g.shape == (0,)
+    # two points: degenerate seed set falls back to the height band
+    pts = np.array([[0.0, 0, 5.0], [1.0, 0, 5.1]])
+    n, d, g = fit_ground_plane(pts, seed_margin=-10.0)
+    assert g.shape == (2,)
