@@ -239,3 +239,72 @@ def test_waymo_window_to_contract(rng):
     # instance motion frame1->frame0 undoes the +2 m anchor-frame shift
     moved = data["bbox_tsfm"][1, 1] @ np.r_[7.0, 0.0, 1.0, 1.0]
     np.testing.assert_allclose(moved[:3], [5.0, 0.0, 1.0], atol=1e-6)
+
+
+# ---------------------------------------------------------- rotated IoU ---
+
+def test_bev_iou_axis_aligned_analytic():
+    from tools.preprocess.box_iou import iou_bev, iou_3d
+    a = np.array([0.0, 0, 0, 4, 2, 2, 0.0])
+    b = np.array([1.0, 0.5, 0, 4, 2, 2, 0.0])  # overlap 3 x 1.5 = 4.5
+    iou = iou_bev(a, b)[0, 0]
+    expect = 4.5 / (8 + 8 - 4.5)
+    np.testing.assert_allclose(iou, expect, atol=1e-12)
+    # identical boxes
+    np.testing.assert_allclose(iou_bev(a, a)[0, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(iou_3d(a, a)[0, 0], 1.0, atol=1e-12)
+    # disjoint
+    c = np.array([100.0, 0, 0, 4, 2, 2, 1.0])
+    assert iou_bev(a, c)[0, 0] == 0.0
+
+
+def test_bev_iou_rotation_invariance():
+    from tools.preprocess.box_iou import iou_bev
+    rng = np.random.default_rng(0)
+    a = np.array([0.0, 0, 0, 4, 2, 2, 0.3])
+    b = np.array([1.0, 0.5, 0, 3, 2.5, 2, -0.4])
+    base = iou_bev(a, b)[0, 0]
+    for _ in range(5):
+        # rotating BOTH boxes (and the offset) by phi preserves IoU
+        phi = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(phi), np.sin(phi)
+        rot = np.array([[c, -s], [s, c]])
+        a2, b2 = a.copy(), b.copy()
+        a2[:2], b2[:2] = rot @ a[:2], rot @ b[:2]
+        a2[6] += phi
+        b2[6] += phi
+        np.testing.assert_allclose(iou_bev(a2, b2)[0, 0], base, atol=1e-10)
+
+
+def test_bev_iou_matches_monte_carlo():
+    from tools.preprocess.box_iou import iou_bev
+    from tools.preprocess.core import points_in_box
+    rng = np.random.default_rng(1)
+    boxes = np.stack([
+        np.concatenate([rng.uniform(-2, 2, 2), [0.0],
+                        rng.uniform(1, 5, 2), [4.0],
+                        rng.uniform(-np.pi, np.pi, 1)])
+        for _ in range(6)
+    ])
+    iou = iou_bev(boxes, boxes)
+    # Monte Carlo over a grid (z=0 center plane, boxes are z-thick enough)
+    g = np.linspace(-6, 6, 601)
+    xx, yy = np.meshgrid(g, g)
+    pts = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size)], 1)
+    inside = np.stack([points_in_box(pts, b) for b in boxes])  # [K, P]
+    for i in range(6):
+        for j in range(6):
+            inter = (inside[i] & inside[j]).sum()
+            union = (inside[i] | inside[j]).sum()
+            mc = inter / union
+            np.testing.assert_allclose(iou[i, j], mc, atol=0.02)
+
+
+def test_iou3d_z_overlap():
+    from tools.preprocess.box_iou import iou_3d
+    a = np.array([0.0, 0, 0.0, 2, 2, 2, 0.0])
+    b = np.array([0.0, 0, 1.0, 2, 2, 2, 0.0])  # half z-overlap
+    expect = (4 * 1.0) / (8 + 8 - 4)
+    np.testing.assert_allclose(iou_3d(a, b)[0, 0], expect, atol=1e-12)
+    c = np.array([0.0, 0, 5.0, 2, 2, 2, 0.0])  # no z-overlap
+    assert iou_3d(a, c)[0, 0] == 0.0
