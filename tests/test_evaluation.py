@@ -64,3 +64,68 @@ def test_collect_results_heterogeneous_scenes(tmp_path):
         meter["static_overall"]["EPE3D"].avg, expected, rtol=1e-2
     )
     assert len(epe_dyn) == 75  # scene B's dynamic points
+
+
+# ------------------------------------------------------------ SFEvaluator ---
+
+def test_sf_evaluator_full_breakdown(tmp_path):
+    from pcaccumulation_tpu.train.sf_metrics import (
+        SFEvaluator, load_and_display)
+    rng = np.random.default_rng(0)
+    n_frames = 3
+    ev = SFEvaluator(n_frames, save_dir=str(tmp_path))
+
+    # two scenes; flow errors drawn so category stats are predictable
+    for scene in range(2):
+        n = 600
+        gt = rng.normal(size=(n, 3)).astype(np.float32)
+        noise = rng.normal(scale=0.02, size=(n, 3)).astype(np.float32)
+        est = gt + noise
+        tid = rng.integers(0, n_frames, n)
+        fb = rng.random(n) < 0.3
+        sd = fb & (rng.random(n) < 0.5)
+        ev.update(gt, est, tid, fb, sd)
+
+    res = ev.full_evaluation(display=False)
+    assert set(res) == {"overall", "1-th frame", "2-th frame"}
+    ov = res["overall"]
+    assert ov["n_points"] == 1200
+    for cat in ("overall", "BG", "FG", "Static", "Dynamic"):
+        for k in ("EPE3D", "Acc3DS", "Acc3DR", "Outlier", "ROutlier"):
+            assert np.isfinite(ov[cat][k])
+    # tiny noise -> high accuracy, low outliers
+    assert ov["overall"]["Acc3DS"] > 0.8
+    assert ov["overall"]["Outlier"] < 0.1
+    # percentiles are monotone
+    pct = [ov["percentile"][f"{t}%"] for t in (10, 25, 50, 75, 90)]
+    assert all(a <= b for a, b in zip(pct, pct[1:]))
+    # pkl written and displayable
+    assert (tmp_path / "sf_results.pkl").exists()
+    load_and_display(str(tmp_path / "sf_results.pkl"))
+
+
+def test_sf_evaluator_mask_and_precomputed_paths_agree():
+    from pcaccumulation_tpu.train.sf_metrics import SFEvaluator
+    rng = np.random.default_rng(1)
+    n = 400
+    gt = rng.normal(size=(n, 3)).astype(np.float32)
+    est = gt + rng.normal(scale=0.1, size=(n, 3)).astype(np.float32)
+    tid = rng.integers(0, 2, n)
+    fb = rng.random(n) < 0.4
+    sd = rng.random(n) < 0.2
+    mask = rng.random(n) < 0.7
+
+    a = SFEvaluator(2)
+    a.update(gt, est, tid, fb, sd, mask=mask)
+    ra = a.full_evaluation(display=False)
+
+    err = np.linalg.norm(est - gt, axis=1)
+    rel = err / (np.linalg.norm(gt, axis=1) + 1e-7)
+    b = SFEvaluator(2)
+    b.update(gt, est, tid, fb, sd, mask=mask,
+             relative_error=rel, epe_per_point=err)
+    rb = b.full_evaluation(display=False)
+    assert ra["overall"]["n_points"] == int(mask.sum())
+    np.testing.assert_allclose(
+        ra["overall"]["overall"]["EPE3D"],
+        rb["overall"]["overall"]["EPE3D"], rtol=1e-3)
