@@ -127,6 +127,31 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(self.params))
         self.logger.write(f"#parameters {n_params / 1e6} M\n")
+        self._dump_architecture(n_params)
+
+    def _dump_architecture(self, n_params):
+        """Write the module/parameter tree to <run>/model_arch.txt — the
+        reference dumps str(model) the same way (libs/trainer.py:49-51)."""
+        lines = [f"{type(self.model).__name__}  "
+                 f"({n_params / 1e6:.3f} M parameters)", ""]
+
+        def walk(tree, prefix):
+            for k in sorted(tree):
+                v = tree[k]
+                if hasattr(v, "items"):  # dict / FrozenDict subtree
+                    lines.append(f"{prefix}{k}/")
+                    walk(v, prefix + "  ")
+                else:
+                    lines.append(
+                        f"{prefix}{k}: {tuple(v.shape)} {v.dtype} "
+                        f"[{int(np.prod(v.shape))}]")
+
+        walk(self.params, "")
+        if self.batch_stats:
+            lines.append("\nbatch_stats/")
+            walk(self.batch_stats, "  ")
+        with open(os.path.join(self.save_dir, "model_arch.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     def current_lr(self) -> float:
         """LR the next optimizer update will apply (for logging)."""

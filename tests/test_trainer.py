@@ -204,3 +204,12 @@ def test_train_step_with_remat(tmp_path):
                         jax.tree.leaves(before))
     )
     assert moved > 0.0  # the rematerialized backward produced real updates
+
+
+def test_model_arch_dump(trainer):
+    import os
+    path = os.path.join(trainer.save_dir, "model_arch.txt")
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "MotionNet" in text and "M parameters" in text
+    assert "unet/" in text and "kernel:" in text
