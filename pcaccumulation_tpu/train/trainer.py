@@ -358,11 +358,16 @@ class Trainer:
             "best_metric": self.best_metric,
         }
         fname = os.path.join(self.save_dir, f"model_{name or epoch}.ckpt")
-        save_checkpoint(fname, state)
+        backend = self.cfg["train"].get("ckpt_backend", "pickle")
+        save_checkpoint(fname, state, backend=backend)
         self.logger.write(f"Save model to {fname}\n")
 
     def load_pretrain(self, path):
-        state = load_checkpoint(path)
+        state = load_checkpoint(path, target={
+            "epoch": 0, "params": self.params,
+            "batch_stats": self.batch_stats, "opt_state": self.opt_state,
+            "best_loss": 0.0, "best_metric": 0.0,
+        })
         self.params = partial_load(state["params"], self.params)
         self.batch_stats = partial_load(state["batch_stats"], self.batch_stats)
         if "opt_state" in state:

@@ -4,10 +4,20 @@ Mirrors the reference's policy (libs/trainer.py:65-110): a state dict of
 {params, batch_stats, opt_state, epoch, best_loss, best_metric} saved as
 rolling `model_best_loss` / `model_best_metric` / `model_latest`, with
 partial (intersection-only) parameter loading for architecture drift
-(toolbox/utils.py:16-24). Format: pickle of a host-numpy pytree — chosen
-deliberately over orbax/msgpack because it round-trips the optax
-NamedTuple optimizer state exactly, so resume restores the full
-structure without a separately-kept template.
+(toolbox/utils.py:16-24).
+
+Two backends:
+ - "pickle" (default): one file of a host-numpy pytree — round-trips the
+   optax NamedTuple optimizer state exactly, so resume restores the full
+   structure without a separately-kept template.
+ - "orbax": an Orbax StandardCheckpointer directory (`<path>.orbax/`) —
+   async-capable, multi-host-aware, and the durable production format.
+   Restoring the NamedTuple structure needs a `target` template (a freshly
+   initialised state of the same shape); without one, nested containers
+   come back as plain dicts/lists.
+
+`load_checkpoint` sniffs the format from what exists on disk, so the two
+backends interoperate behind the same rolling-checkpoint paths.
 """
 
 from __future__ import annotations
@@ -23,15 +33,43 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state: dict) -> None:
+def _orbax_dir(path: str) -> str:
+    return os.path.abspath(path) + ".orbax"
+
+
+def save_checkpoint(path: str, state: dict, backend: str = "pickle") -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(_to_host(state), f)
+    if backend == "pickle":
+        with open(path, "wb") as f:
+            pickle.dump(_to_host(state), f)
+    elif backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        target = _orbax_dir(path)
+        shutil.rmtree(target, ignore_errors=True)  # rolling overwrite
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(target, _to_host(state))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
-def load_checkpoint(path: str) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)
+def load_checkpoint(path: str, target=None) -> dict:
+    """Restore `path` (either backend). `target` is an optional pytree
+    template; with the orbax backend it makes custom containers (optax
+    NamedTuples) come back with their original structure."""
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    odir = _orbax_dir(path)
+    if os.path.isdir(odir):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(
+                odir, None if target is None else _to_host(target))
+    raise FileNotFoundError(path)
 
 
 def partial_load(saved_params: dict, init_params: dict) -> dict:
