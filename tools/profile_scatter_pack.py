@@ -19,6 +19,12 @@ ranking inverts: bench seq/s = 79.7 (f32+convert) > 76.3 (bf16 direct)
 channel-major [34, THW] to suit the conv consumers and fuses the convert;
 the isolated row-major layout does not transfer, and the bitcasts pin
 layouts that force extra copies.  The f32 scatter + dense convert stays.
+
+Also ruled out IN SITU: a scatter->gather reformulation (scatter an int32
+cell->pillar map, then materialise the canvas as a bf16 row gather with a
+custom injective-map VJP) — 71.1 seq/s: the gather writing the
+channel-major canvas layout pays the same write amplification as the wide
+scatter, plus the extra int map pass.
 """
 
 from __future__ import annotations
