@@ -405,15 +405,18 @@ class SegHead2D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, x_s2d=None, centers=None):
         if centers is not None:
-            # SPARSE eval: the eval-mode graph only reads this head's map
-            # at T*n_kpts sampled pillar cells (egomotion.py top_k), so
+            # SPARSE head: the graph only reads this head's map at the
+            # T*n_kpts sampled pillar cells (egomotion.py top_k), so
             # conv0/bn/relu run dense but 4x-wide in s2d layout (the fast
             # conv shape for 32-in channels) and conv1 is evaluated ONLY
             # at the sampled cells: 3x3 windows gathered from the s2d map
             # + one [S, 9*mid] x [9*mid, out] matmul. Identical parameter
-            # pytree and math as the dense path (gradients not needed:
-            # eval only). centers = (bt, y, x) flat int32 arrays.
-            assert not train, "sparse head evaluation is eval-only"
+            # pytree and math as the dense path. In train mode this is
+            # gradient-exact too: BN's batch statistics (and their VJP
+            # coupling of every cell to the loss) come from the SAME
+            # full conv0 map as the dense path — only conv1 and its VJP
+            # shrink from full-map to the sampled windows (~2.3 ms/step
+            # traced at bench shapes). centers = (bt, y, x) flat int32.
             from pcaccumulation_tpu.models.unet import S2DConv3x3
             from pcaccumulation_tpu.ops.s2d import gather_s2d_3x3_windows
 
@@ -424,7 +427,7 @@ class SegHead2D(nn.Module):
             h = S2DConv3x3(mid, dtype=self.dtype, name="conv0",
                            kernel_init=nn.linear.default_kernel_init)(h)
             h = S2DBatchNorm(momentum=0.9, name="bn", dtype=self.dtype)(
-                h, train=False
+                h, train=train
             )
             h = nn.relu(h)
             win = gather_s2d_3x3_windows(h, *centers)  # [S, 3, 3, mid]

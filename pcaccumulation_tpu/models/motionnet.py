@@ -251,14 +251,16 @@ class MotionNet(nn.Module):
             )
 
         sparse_ego = (
-            self.s2d_active and not train
+            self.s2d_active
             and self.cfg["pose_estimation"].get("sparse_eval", True)
         )
         if sparse_ego:
-            # eval only reads the ego-feature maps at the T*n_kpts cells
-            # the head samples, so the dense conv pair + full-pillar
-            # gather (1.3 ms traced at bench shapes) collapse to an s2d
-            # conv0 + per-cell sparse conv1 (SegHead2D centers path)
+            # the graph only reads the ego-feature maps at the T*n_kpts
+            # cells the head samples, so the dense conv pair + full-pillar
+            # gather (1.3 ms traced at bench shapes; conv1's train VJP
+            # alone 1.8 ms) collapse to an s2d conv0 + per-cell sparse
+            # conv1 (SegHead2D centers path). Gradient-exact in train:
+            # BN batch statistics still come from the full conv0 map.
             def ego_feats_fn(top_idx):  # [B, T, n] pillar indices
                 flat_idx = top_idx.reshape(b, -1)  # [B, T*n]
                 coords = jnp.take_along_axis(
@@ -271,7 +273,7 @@ class MotionNet(nn.Module):
                 yy = jnp.clip(coords[..., 1], 0, h - 1).reshape(-1)
                 xx = jnp.clip(coords[..., 2], 0, w - 1).reshape(-1)
                 feats = self.ego_feats_head(
-                    None, train=False, x_s2d=bev_feats_s2d,
+                    None, train=train, x_s2d=bev_feats_s2d,
                     centers=(bt_map, yy, xx),
                 )  # [B*T*n, C]
                 return _l2_normalize(

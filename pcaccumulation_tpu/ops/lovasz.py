@@ -10,9 +10,34 @@ reference's `continue` branch.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-7
+
+
+def _take_perm(x, order):
+    """``x[order]`` where ``order`` is a permutation of arange(len(x)).
+
+    The default gather VJP emits a generic scatter-add; declaring the
+    indices unique (a sort permutation always is) unlocks XLA's fast
+    scatter path — the Lovász sort backward profiled ~0.6 ms/step at
+    bench shapes before this (trace: transpose(jvp())/scatter-add
+    lovasz.py)."""
+
+    @jax.custom_vjp
+    def take(xx, oo):
+        return xx[oo]
+
+    def fwd(xx, oo):
+        return xx[oo], oo
+
+    def bwd(oo, g):
+        zeros = jnp.zeros(g.shape, g.dtype)  # permutation: same shape as x
+        return zeros.at[oo].set(g, mode="drop", unique_indices=True), None
+
+    take.defvjp(fwd, bwd)
+    return take(x, order)
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -50,8 +75,8 @@ def lovasz_softmax(
         errors = jnp.abs(fg - probas[:, cls]) * validf
         # descending sort; invalid entries (0 error) land at the tail
         order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
+        errors_sorted = _take_perm(errors, order)
+        fg_sorted = fg[order]  # no grad path: fg is labels-only
         grad = _lovasz_grad(fg_sorted)
         losses.append(jnp.dot(errors_sorted, grad))
         present.append((jnp.sum(fg) > 0).astype(probas.dtype))

@@ -189,6 +189,23 @@ def test_lovasz_mask_equals_subset(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_lovasz_grad_matches_torch_autograd(rng):
+    """The sort-gather runs through a custom unique-scatter VJP; its
+    gradient must equal torch autograd through the reference formulation."""
+    n = 120
+    logits = rng.normal(size=(n, 2)).astype(np.float32)
+    probas = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    labels = rng.integers(0, 2, size=n)
+
+    g_ours = jax.grad(
+        lambda p: lovasz_softmax(p, jnp.asarray(labels))
+    )(jnp.asarray(probas))
+
+    pt = torch.tensor(probas, requires_grad=True)
+    _torch_lovasz(pt, torch.tensor(labels)).backward()
+    np.testing.assert_allclose(np.asarray(g_ours), pt.grad.numpy(), atol=1e-5)
+
+
 def test_warp_bev_shear_matches_gather(rng):
     """The 3-pass shear warp must agree with the exact bilinear gather for
     rigid z-rotation + translation poses away from the border band swept

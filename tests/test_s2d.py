@@ -218,6 +218,60 @@ def test_seghead_sparse_centers_matches_dense_eval():
     np.testing.assert_allclose(np.asarray(sparse), ref, atol=2e-5, rtol=1e-4)
 
 
+def test_seghead_sparse_centers_train_grads_match_dense():
+    """TRAIN-mode sparse head == dense head read at the centers: outputs,
+    running-stat updates, AND gradients (incl. the BN batch-statistic
+    coupling of every input cell to the loss — both paths normalize with
+    statistics of the same full conv0 map)."""
+    from pcaccumulation_tpu.models.layers import SegHead2D
+
+    rng = np.random.default_rng(2)
+    bt_n, h, w, c = 4, 12, 10, 6
+    x = jnp.asarray(rng.normal(size=(bt_n, h, w, c)).astype(np.float32))
+    head = SegHead2D(8)
+    v = head.init(jax.random.PRNGKey(1), x, train=False)
+    s = 96
+    bt = jnp.asarray(rng.integers(0, bt_n, s), jnp.int32)
+    yy = jnp.asarray(rng.integers(0, h, s), jnp.int32)
+    xx = jnp.asarray(rng.integers(0, w, s), jnp.int32)
+    wgt = jnp.asarray(rng.normal(size=(s, 8)).astype(np.float32))
+
+    def loss_dense(params, xin):
+        out, mut = head.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            xin, train=True, mutable=["batch_stats"],
+        )
+        sel = out[bt, yy, xx]
+        return jnp.sum(sel * wgt), (sel, mut["batch_stats"])
+
+    def loss_sparse(params, xin):
+        out, mut = head.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            None, train=True, x_s2d=space_to_depth(xin),
+            centers=(bt, yy, xx), mutable=["batch_stats"],
+        )
+        return jnp.sum(out * wgt), (out, mut["batch_stats"])
+
+    (ld, (sel_d, bs_d)), gd = jax.value_and_grad(loss_dense, (0, 1),
+                                                 has_aux=True)(v["params"], x)
+    (ls, (sel_s, bs_s)), gs = jax.value_and_grad(loss_sparse, (0, 1),
+                                                 has_aux=True)(v["params"], x)
+    np.testing.assert_allclose(np.asarray(sel_s), np.asarray(sel_d),
+                               atol=2e-5, rtol=1e-4)
+    # running-stat update parity (same full-map conv0 statistics)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-5),
+        bs_s, bs_d)
+    # input gradient (includes the batch-stat VJP over all cells)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]),
+                               atol=2e-5, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=2e-4),
+        gs[0], gd[0])
+
+
 def test_motionnet_sparse_ego_matches_dense():
     """Full val forward: sparse-eval ego path == dense path (same rngs)."""
     from tests.test_model import tiny_cfg, tiny_batch
