@@ -68,6 +68,35 @@ def segment_min(data, segment_ids, num_segments: int, fill_value: float = 0.0):
     return jnp.where(jnp.isfinite(out), out, fill_value)
 
 
+def _segment_max_core(data, segment_ids, num_segments: int,
+                      indices_are_sorted: bool):
+    """segment_max with a winner-mask custom VJP.
+
+    JAX's default segment_max backward costs ~2x the forward (trace:
+    ~280 us extra per [16k, 256] -> 129 call); routing the cotangent by
+    ``data == out[ids]`` is two contiguous row gathers + a compare
+    (~60 us). Tied winners each receive the FULL cotangent (torch_scatter
+    routes to a single argmax; ties are measure-zero for the continuous
+    activations this pools)."""
+
+    @jax.custom_vjp
+    def seg_max(x, ids):
+        return jax.ops.segment_max(x, ids, num_segments=num_segments,
+                                   indices_are_sorted=indices_are_sorted)
+
+    def fwd(x, ids):
+        out = seg_max(x, ids)
+        return out, (x, ids, out)
+
+    def bwd(res, g):
+        x, ids, out = res
+        winner = x == jnp.take(out, ids, axis=0)
+        return jnp.where(winner, jnp.take(g, ids, axis=0), 0).astype(x.dtype), None
+
+    seg_max.defvjp(fwd, bwd)
+    return seg_max(data, segment_ids)
+
+
 def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: float = 0.0,
                        indices_are_sorted: bool = False):
     """Segment max where invalid rows contribute nothing.
@@ -75,8 +104,8 @@ def masked_segment_max(data, segment_ids, valid, num_segments: int, fill_value: 
     Set indices_are_sorted=True when segment_ids are non-decreasing (the
     data layer sorts points by pillar id — ~2x faster scatter on TPU)."""
     masked = jnp.where(valid.reshape((-1,) + (1,) * (data.ndim - 1)), data, _NEG_INF)
-    out = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments,
-                              indices_are_sorted=indices_are_sorted)
+    out = _segment_max_core(masked, segment_ids, num_segments,
+                            indices_are_sorted)
     return jnp.where(out <= _NEG_INF * 0.5, fill_value, out)
 
 

@@ -34,6 +34,32 @@ def test_masked_segment_max_empty_fill(rng):
     np.testing.assert_allclose(out, np.zeros((3, 2)))
 
 
+def test_masked_segment_max_grad_matches_torch_scatter_semantics(rng):
+    """The winner-mask custom VJP must route gradients exactly like torch
+    autograd through an index_reduce amax (distinct values: no ties)."""
+    n, c, s = 64, 5, 7
+    data = rng.permutation(n * c).reshape(n, c).astype(np.float32)  # distinct
+    ids = rng.integers(0, s, size=n)
+    valid = rng.random(n) > 0.3
+    wgt = rng.normal(size=(s, c)).astype(np.float32)
+
+    def loss(d):
+        out = seg.masked_segment_max(d, jnp.asarray(ids), jnp.asarray(valid), s)
+        return jnp.sum(out * jnp.asarray(wgt))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(data)))
+
+    dt = torch.tensor(data, requires_grad=True)
+    masked = torch.where(torch.tensor(valid)[:, None], dt,
+                         torch.tensor(-1e30))
+    out = torch.full((s, c), -1e30).index_reduce(
+        0, torch.tensor(ids), masked, "amax", include_self=False
+    )
+    out = torch.where(out <= -5e29, torch.tensor(0.0), out)
+    (out * torch.tensor(wgt)).sum().backward()
+    np.testing.assert_allclose(g, dt.grad.numpy(), atol=1e-6)
+
+
 def test_masked_segment_mean(rng):
     data = rng.normal(size=(50, 3)).astype(np.float32)
     ids = rng.integers(0, 4, size=50)
