@@ -60,6 +60,7 @@ class EgoMotionHead(nn.Module):
     freq: float = 10.0
     max_speed: float = 20.0
     seq_pose: str = "skip"
+    approx_sampling: bool = True  # approx_max_k keypoint draw (see below)
     icp: bool = False            # egomotion.py:440 refine_with_icp
     icp_threshold: float = 0.15  # reference default.yaml:81
     icp_max_iter: int = 50
@@ -103,7 +104,19 @@ class EgoMotionHead(nn.Module):
             & (pillar_t[:, None, :] == jnp.arange(t_frames)[None, :, None])
         )  # [B, T, M]
         scores = jnp.where(frame_mask, scores, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
+        if self.approx_sampling:
+            # the scores are iid uniform — this is a random DRAW, not a
+            # ranking, so TPU's bin-reduce approx_max_k (recall 0.99)
+            # selects an equally-random subset at 1/5 the cost of the
+            # full sort (41 vs 198 us at [4, 25000] -> 1024 on v5e).
+            # Falls back to exact top_k on CPU.
+            top_vals, top_idx = jax.lax.approx_max_k(
+                scores.reshape(b * t_frames, m), n, recall_target=0.99
+            )
+            top_vals = top_vals.reshape(b, t_frames, n)
+            top_idx = top_idx.reshape(b, t_frames, n)
+        else:
+            top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
         have = jnp.isfinite(top_vals)
         top_idx = jnp.where(have, top_idx, top_idx[..., :1])  # duplicate first
         # degenerate-frame guard: a frame with ZERO valid background pillars

@@ -110,6 +110,7 @@ class MotionNet(nn.Module):
             freq=cfg["data"]["freq"],
             max_speed=cfg["data"]["max_speed"],
             seq_pose=cfg["pose_estimation"]["seq_pose"],
+            approx_sampling=cfg["pose_estimation"].get("approx_sampling", True),
             icp=cfg["pose_estimation"].get("icp", False),
             icp_threshold=cfg["pose_estimation"].get("icp_threshold", 0.15),
             icp_max_iter=cfg["pose_estimation"].get("icp_max_iter", 50),
