@@ -22,9 +22,10 @@ ANY run length (no max-points-per-pillar cap, matching the reference's
 uncapped dynamic voxelization).
 
 The custom VJPs are scans too:
-  max: grad_x = (x == y) * seg_pool(g, 'sum')   — the same cotangent
-       routing as jax's scatter-max transpose (all argmax ties receive
-       the full segment cotangent sum).
+  max: grad_x = (x == y) * seg_pool(g, 'sum') / tie_count — EVEN-SPLIT
+       among argmax ties, the repo-wide tie contract shared with
+       jax.ops.segment_max's default VJP and ops/segment.py's
+       winner-mask core (see _segment_max_core).
   sum: grad_x = seg_pool(g, 'sum').
 
 Block width (the channel dim, <=128 lanes) obeys the Mosaic lane limit

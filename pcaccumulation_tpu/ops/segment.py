@@ -74,10 +74,17 @@ def _segment_max_core(data, segment_ids, num_segments: int,
 
     JAX's default segment_max backward costs ~2x the forward (trace:
     ~280 us extra per [16k, 256] -> 129 call); routing the cotangent by
-    ``data == out[ids]`` is two contiguous row gathers + a compare
-    (~60 us). Tied winners each receive the FULL cotangent (torch_scatter
-    routes to a single argmax; ties are measure-zero for the continuous
-    activations this pools)."""
+    ``data == out[ids]`` is two contiguous row gathers + a compare, plus
+    one winner-count scatter for the tie split (~100 us).
+
+    TIE SEMANTICS (repo-wide contract): argmax ties EVEN-SPLIT the
+    segment cotangent — each of k tied winners receives g/k. This is a
+    valid max subgradient, identical to jax.ops.segment_max's default
+    VJP and to kernels/segscan.py's scan VJP, so all three pool paths
+    (this scatter core, the Pallas scan, and the raw XLA fallback) agree
+    bitwise on tie gradients. (torch_scatter instead routes to a single
+    arbitrary argmax; ties are measure-zero for continuous activations
+    but NOT for bf16-quantized ones — ~3% of rows at bench shapes.)"""
 
     @jax.custom_vjp
     def seg_max(x, ids):
@@ -91,7 +98,12 @@ def _segment_max_core(data, segment_ids, num_segments: int,
     def bwd(res, g):
         x, ids, out = res
         winner = x == jnp.take(out, ids, axis=0)
-        return jnp.where(winner, jnp.take(g, ids, axis=0), 0).astype(x.dtype), None
+        nties = jax.ops.segment_sum(
+            winner.astype(jnp.float32), ids, num_segments=num_segments,
+            indices_are_sorted=indices_are_sorted)
+        share = g.astype(jnp.float32) / jnp.maximum(nties, 1.0)
+        grad = jnp.where(winner, jnp.take(share, ids, axis=0), 0.0)
+        return grad.astype(x.dtype), None
 
     seg_max.defvjp(fwd, bwd)
     return seg_max(data, segment_ids)

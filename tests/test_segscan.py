@@ -97,6 +97,33 @@ def test_masked_pool_matches_scatter_path_fwd_and_grad():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_masked_segment_max_tie_split_even():
+    """Deliberate duplicated maxima: the winner-mask core even-splits the
+    segment cotangent among k ties (g/k each), matching jax's default
+    segment_max VJP — the repo-wide tie contract."""
+    ids = jnp.asarray([0, 0, 0, 0, 1, 1], jnp.int32)
+    valid = jnp.asarray([True, True, True, False, True, True])
+    # seg 0: three-way tie at 2.0 (one of them masked out -> only 2 count);
+    # seg 1: two-way tie at 5.0
+    x = jnp.asarray([[1.0], [2.0], [2.0], [2.0], [5.0], [5.0]], jnp.float32)
+    g = jnp.asarray([[3.0], [8.0]], jnp.float32)
+
+    def f(xx):
+        return masked_segment_max(xx, ids, valid, 2, indices_are_sorted=True)
+
+    np.testing.assert_allclose(np.asarray(f(x)), [[2.0], [5.0]])
+    grad = jax.vjp(f, x)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(grad),
+                               [[0.0], [1.5], [1.5], [0.0], [4.0], [4.0]])
+    # sanity: identical to jax's default VJP on the same masked problem
+    def f_default(xx):
+        masked = jnp.where(valid[:, None], xx, -1e30)
+        return jax.ops.segment_max(masked, ids, num_segments=2)
+
+    g_def = jax.vjp(f_default, x)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_def))
+
+
 def test_seg_pool_custom_vjp_tie_split():
     """Two tied argmax rows each receive HALF the segment cotangent sum."""
     ids = jnp.asarray([0, 0, 0, 1], jnp.int32)
