@@ -6,10 +6,38 @@ single `vmap` over [B, P] pairs of fixed-size (n_kpts) pillar samples, so
 the affinity matmuls, Sinkhorn iterations and batched 3x3 SVDs all run as
 one fused XLA computation.
 
-Sampling parity: the reference draws randperm keypoints and duplicates the
-last point when a frame has fewer than n_kpts background pillars
-(egomotion.py:155-167); here top-k of masked uniform scores draws without
-replacement and duplicates the first drawn pillar for the shortfall.
+Sampling parity — the keypoint draw deviates from the reference in THREE
+deliberate, documented ways (all preserve the uniform marginal over
+background pillars; pose-error equivalence is asserted statistically by
+tests/test_model.py::test_sampling_deviations_pose_error_parity):
+
+  1. Draw reuse across pairs. The reference re-draws an independent
+     randperm per frame PER PAIR (egomotion.py:155-167 — in skip mode
+     frame 0 is re-drawn for every pair); here each (batch, frame) is
+     drawn ONCE and the sample is reused by every pair touching that
+     frame. Each individual draw is still uniform without replacement,
+     so every pair sees the same marginal distribution; only the
+     between-pair correlation changes, and no loss term couples pairs
+     through the sample.
+  2. approx_max_k (when approx_sampling=True, the default). The scores
+     being ranked are iid uniform, so TPU's bin-reduce approx_max_k
+     (recall 0.99) selects an equally-random subset at ~1/5 the cost of
+     the full sort. Any subset of a uniform draw is a uniform draw.
+  3. Shortfall duplication. When a frame has fewer than n_kpts
+     background pillars the reference duplicates the LAST pillar
+     (egomotion.py:159-160); here the random path duplicates the first
+     DRAWN pillar (a uniformly random one — if anything less biased than
+     always-the-last). The deterministic path below replicates the
+     reference's last-pillar rule exactly.
+
+Set deterministic_sampling=True (config: pose_estimation.deterministic_
+sampling) to remove all randomness for parity testing: the draw becomes
+"first n_kpts background pillars in (t, y, x) scan order, shortfall
+duplicating the last valid one" — byte-identical to the reference's
+deterministic branch (egomotion.py:158-166, choice = arange with
+last-point fill) whenever a frame has <= n_kpts background pillars, since
+the data layer orders pillars by the same scan order the reference's
+flatten produces.
 
 All three sequence strategies are supported (chain | skip | full,
 egomotion.py:195-357); configs default to 'skip'.
@@ -52,6 +80,55 @@ def pair_lists(n_frames: int, strategy: str):
     return pairs, chained_src
 
 
+def draw_keypoints(rng, frame_mask, n: int, approx: bool,
+                   deterministic: bool, scan_key=None):
+    """Keypoint draw over [B, T, M] frame masks -> [B, T, n] pillar indices.
+
+    Random mode (deterministic=False): top-k (or approx_max_k on TPU when
+    approx=True) of iid-uniform scores on masked rows — a uniform draw
+    without replacement; shortfall duplicates the first drawn pillar. See
+    the module docstring for the three documented deviations from the
+    reference's randperm draw (egomotion.py:155-167).
+
+    Deterministic mode: first n background pillars in the (y, x) BEV scan
+    order — the order the reference's canvas flatten produces
+    (motionnet.py:419-424 is_occupied.view(-1)) — shortfall duplicating
+    the LAST valid drawn pillar, i.e. the reference's
+    arange-with-last-fill branch (egomotion.py:158-166) exactly. The
+    pillar STORAGE order is the voxelizer's (first-appearance for the
+    native hash), so `scan_key` must be y*W + x.
+    """
+    b, t_frames, m = frame_mask.shape
+    if deterministic:
+        scores = -jnp.broadcast_to(
+            scan_key.astype(jnp.float32)[:, None, :], (b, t_frames, m)
+        )
+        scores = jnp.where(frame_mask, scores, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(scores, n)
+        have = jnp.isfinite(top_vals)
+        cnt = jnp.sum(have.astype(jnp.int32), axis=-1, keepdims=True)
+        last = jnp.take_along_axis(top_idx, jnp.maximum(cnt - 1, 0), axis=-1)
+        return jnp.where(have, top_idx, last)
+
+    scores = jax.random.uniform(rng, (b, t_frames, m))
+    scores = jnp.where(frame_mask, scores, -jnp.inf)
+    if approx:
+        # the scores are iid uniform — this is a random DRAW, not a
+        # ranking, so TPU's bin-reduce approx_max_k (recall 0.99) selects
+        # an equally-random subset at 1/5 the cost of the full sort (41
+        # vs 198 us at [4, 25000] -> 1024 on v5e). Falls back to exact
+        # top_k on CPU.
+        top_vals, top_idx = jax.lax.approx_max_k(
+            scores.reshape(b * t_frames, m), n, recall_target=0.99
+        )
+        top_vals = top_vals.reshape(b, t_frames, n)
+        top_idx = top_idx.reshape(b, t_frames, n)
+    else:
+        top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
+    have = jnp.isfinite(top_vals)
+    return jnp.where(have, top_idx, top_idx[..., :1])  # dup first
+
+
 class EgoMotionHead(nn.Module):
     n_kpts: int = 1024
     sinkhorn_iter: int = 3
@@ -60,7 +137,8 @@ class EgoMotionHead(nn.Module):
     freq: float = 10.0
     max_speed: float = 20.0
     seq_pose: str = "skip"
-    approx_sampling: bool = True  # approx_max_k keypoint draw (see below)
+    approx_sampling: bool = True  # approx_max_k keypoint draw (see above)
+    deterministic_sampling: bool = False  # parity mode (see module docstring)
     icp: bool = False            # egomotion.py:440 refine_with_icp
     icp_threshold: float = 0.15  # reference default.yaml:81
     icp_max_iter: int = 50
@@ -78,6 +156,7 @@ class EgoMotionHead(nn.Module):
         point_valid,    # [B, N] bool
         ego_motion_gt,  # [B, T, 4, 4]
         point_bg=None,  # [B, N] bool — estimated background points (ICP)
+        pillar_scan_key=None,  # [B, M] int y*W + x (deterministic mode only)
         feats_fn=None,  # optional: top_idx [B, T, n] -> [B, T, n, C]
         # L2-normalised f32 features at the sampled pillars. When given,
         # pillar_feats may be None — the caller evaluates its feature
@@ -96,29 +175,23 @@ class EgoMotionHead(nn.Module):
         durations = jnp.abs(src_f - tgt_f).astype(jnp.float32) / self.freq  # [P]
 
         # ---- sample n_kpts background pillars per (batch, frame) ----------
-        rng = self.make_rng("sample")
-        scores = jax.random.uniform(rng, (b, t_frames, m))
         frame_mask = (
             pillar_valid[:, None, :]
             & pillar_bg[:, None, :]
             & (pillar_t[:, None, :] == jnp.arange(t_frames)[None, :, None])
         )  # [B, T, M]
-        scores = jnp.where(frame_mask, scores, -jnp.inf)
-        if self.approx_sampling:
-            # the scores are iid uniform — this is a random DRAW, not a
-            # ranking, so TPU's bin-reduce approx_max_k (recall 0.99)
-            # selects an equally-random subset at 1/5 the cost of the
-            # full sort (41 vs 198 us at [4, 25000] -> 1024 on v5e).
-            # Falls back to exact top_k on CPU.
-            top_vals, top_idx = jax.lax.approx_max_k(
-                scores.reshape(b * t_frames, m), n, recall_target=0.99
+        if self.deterministic_sampling:
+            assert pillar_scan_key is not None, (
+                "deterministic_sampling requires pillar_scan_key")
+            top_idx = draw_keypoints(
+                None, frame_mask, n, approx=False, deterministic=True,
+                scan_key=pillar_scan_key,
             )
-            top_vals = top_vals.reshape(b, t_frames, n)
-            top_idx = top_idx.reshape(b, t_frames, n)
         else:
-            top_vals, top_idx = jax.lax.top_k(scores, n)  # [B, T, n]
-        have = jnp.isfinite(top_vals)
-        top_idx = jnp.where(have, top_idx, top_idx[..., :1])  # duplicate first
+            top_idx = draw_keypoints(
+                self.make_rng("sample"), frame_mask, n,
+                approx=self.approx_sampling, deterministic=False,
+            )
         # degenerate-frame guard: a frame with ZERO valid background pillars
         # would otherwise feed arbitrary top_k indices into Kabsch. The
         # reference never sees this (it resamples such samples at the
@@ -166,8 +239,17 @@ class EgoMotionHead(nn.Module):
         )
 
         row_sum = jnp.sum(perm, axis=-1)  # [B, P, n]
+        # the reference divides by row_sum + 1e-20 (_EPS, toolbox/
+        # utils.py:13) so near-zero-mass rows converge to the weighted
+        # average of their targets (their Kabsch weight row_sum ~ 0
+        # silences them). A literal 1e-20 is an f32 trap in reverse mode:
+        # the VJP squares the denominator and (1e-20)^2 underflows to 0,
+        # turning zero-support rows into inf * 0 = NaN grads. Flooring at
+        # 1e-12 is forward-identical within fp tolerance (rows with
+        # row_sum < 1e-12 carry < 1e-12 Kabsch weight) and keeps
+        # (1e-12)^2 = 1e-24 comfortably normal.
         weighted_t = jnp.einsum("bpnm,bpmc->bpnc", perm, ct, precision=_HI) / (
-            row_sum[..., None] + _EPS
+            jnp.maximum(row_sum[..., None], 1e-12)
         )
         rot, trans = weighted_kabsch(cs, weighted_t, row_sum)  # [B,P,3,3],[B,P,3]
         pose_pairs = se3.make_transform(rot, trans)  # [B, P, 4, 4]
@@ -183,13 +265,17 @@ class EgoMotionHead(nn.Module):
         pose_gt_pairs = se3.relative_pose(gt_src, gt_tgt)
 
         # ---- per-pair point L1/L2 losses (egomotion.py:232-239) -----------
-        # applied to ALL raw points of the source frame
-        pc_est = se3.apply_transform(points[:, None], pose_pairs)  # [B,P,N,3]
-        pc_gt = se3.apply_transform(points[:, None], pose_gt_pairs)
+        # applied to the source frame's PILLAR MEANS (all occupied pillars,
+        # not bg-masked and not raw points): the reference's `ref_points`
+        # is `points_list[ref_idx]`, the per-frame occupied-pillar mean
+        # list built from pts_mean_map (egomotion.py:298,327,423-426)
+        pc_est = se3.apply_transform(pillar_mean[:, None], pose_pairs)  # [B,P,M,3]
+        pc_gt = se3.apply_transform(pillar_mean[:, None], pose_gt_pairs)
         diff = pc_est - pc_gt
         in_frame = (
-            (time_idx[:, None, :] == src_f[None, :, None]) & point_valid[:, None, :]
-        ).astype(points.dtype)  # [B, P, N]
+            (pillar_t[:, None, :] == src_f[None, :, None])
+            & pillar_valid[:, None, :]
+        ).astype(points.dtype)  # [B, P, M]
         count = jnp.sum(in_frame, axis=-1) + _EPS
         l1_pp = jnp.sum(jnp.sum(jnp.abs(diff), axis=-1) * in_frame, axis=-1) / count
         l2_pp = jnp.sum(safe_norm(diff, axis=-1) * in_frame, axis=-1) / count

@@ -111,6 +111,9 @@ class MotionNet(nn.Module):
             max_speed=cfg["data"]["max_speed"],
             seq_pose=cfg["pose_estimation"]["seq_pose"],
             approx_sampling=cfg["pose_estimation"].get("approx_sampling", True),
+            deterministic_sampling=cfg["pose_estimation"].get(
+                "deterministic_sampling", False
+            ),
             icp=cfg["pose_estimation"].get("icp", False),
             icp_threshold=cfg["pose_estimation"].get("icp_threshold", 0.15),
             icp_max_iter=cfg["pose_estimation"].get("icp_max_iter", 50),
@@ -306,6 +309,7 @@ class MotionNet(nn.Module):
             ego_motion_gt,
             point_bg=(fb_est_point == 0) & point_valid,
             feats_fn=ego_feats_fn,
+            pillar_scan_key=pillar_coords[..., 1] * w + pillar_coords[..., 2],
         )
         results.update(ego)
 
@@ -469,25 +473,31 @@ class MotionNet(nn.Module):
             packed_cols = jnp.concatenate(
                 [
                     transformed_points,
+                    points,  # raw per-frame coords: the backbone ungrid
+                             # samples the UNWARPED per-frame BEV maps at
+                             # raw positions (motionnet.py:244 uses
+                             # input_points, not transformed_points)
                     i2f(time_idx),
                     i2f(inst_labels),
                     i2f(batch["sd_labels"]),
                 ],
                 axis=-1,
-            )  # [B, N, 6]
+            )  # [B, N, 9]
             sub = take_rows_unique(packed_cols, sel)
             r_points = sub[..., :3]
+            r_points_raw = sub[..., 3:6]
 
             def f2i(col):
                 return jax.lax.bitcast_convert_type(col, jnp.int32)
 
-            r_tid = f2i(sub[..., 3])
-            r_inst = f2i(sub[..., 4])
-            r_sd = f2i(sub[..., 5])
+            r_tid = f2i(sub[..., 6])
+            r_inst = f2i(sub[..., 7])
+            r_sd = f2i(sub[..., 8])
             r_mask = sel_valid
         else:
             sel = None
             r_points, r_tid = transformed_points, time_idx
+            r_points_raw = points
             r_inst, r_mask, r_sd = inst_labels, rec_mask, batch["sd_labels"]
 
         # the reference detaches bev_feats before both warping and the
@@ -498,7 +508,7 @@ class MotionNet(nn.Module):
             lambda fm, pts, tid: temporal_ungrid_folded(
                 fm, pts[:, :2], tid, self.pc_range[0], t
             )
-        )(bev_gather, r_points, r_tid).astype(jnp.float32)  # [B, S, C]
+        )(bev_gather, r_points_raw, r_tid).astype(jnp.float32)  # [B, S, C]
         mos_pp = jax.vmap(
             lambda fm, pts: ungrid(fm, pts[:, :2], self.pc_range[0])
         )(mos_map, r_points)  # [B, S, 64]

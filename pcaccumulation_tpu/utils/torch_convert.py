@@ -108,7 +108,8 @@ def unet(sd, prefix, depth=5):
     return out
 
 
-def convert_state_dict(sd: dict, pillar_depth: int = 3) -> tuple[dict, dict]:
+def convert_state_dict(sd: dict, pillar_depth: int = 3,
+                       unet_depth: int = 5) -> tuple[dict, dict]:
     """Full reference MotionNet state_dict -> (params, batch_stats)."""
     sd = {k: _t(v) for k, v in sd.items()}
     params: dict = {}
@@ -122,7 +123,7 @@ def convert_state_dict(sd: dict, pillar_depth: int = 3) -> tuple[dict, dict]:
     params["pillar_encoder"] = pe
 
     # backbone UNet
-    params["unet"] = unet(sd, "unet", depth=5)
+    params["unet"] = unet(sd, "unet", depth=unet_depth)
 
     # heads
     params["semseg_head"], stats["semseg_head"] = seg_head_2d(sd, "semseg_head")

@@ -1,0 +1,201 @@
+"""Composed full-model torch parity: the WHOLE converted graph vs the
+reference's own forward.
+
+Per-module conversion parity lives in tests/test_convert.py; this test
+covers the seams those cannot: warp grid conventions end-to-end, detach
+points, GT-or-est mask wiring, Sinkhorn -> Kabsch composition, the
+per-point ungrids, and the AlignNet iteration loop. It loads ONE torch
+state_dict into BOTH the re-executed reference forward
+(/root/reference/models/motionnet.py:137-262, imported via
+tests/ref_exec.py) and our MotionNet, feeds the SAME synthetic scene, and
+asserts fb_seg / ego poses / mos / offset / rec agree within fp tolerance
+in eval mode AND with train-mode BN.
+
+Randomness is pinned by construction, not by luck: the scene is sized so
+every frame has fewer background pillars than n_kpts, where the
+reference's keypoint draw degenerates to its deterministic
+arange-with-last-fill branch (egomotion.py:158-166) — exactly our
+`deterministic_sampling` mode. Known deliberate deviation handled in the
+harness: the reference's warp anchor-slot loop-variable leak
+(motionnet.py:111; see ref_exec.fixed_warp_feats).
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+sys.path.insert(0, "/root/repo/tests")
+
+import ref_exec
+from pcaccumulation_tpu.config import derive, load_config
+from pcaccumulation_tpu.data.dataset import prep_sample
+from pcaccumulation_tpu.data.loader import collate
+from pcaccumulation_tpu.data.synthetic import generate_sample
+from pcaccumulation_tpu.models import MotionNet
+from pcaccumulation_tpu.utils import torch_convert as tc
+
+
+def parity_cfg():
+    cfg = load_config()
+    cfg["voxel_generator"].update(
+        {"range": [-8, -8, -5, 8, 8, 3], "voxel_size": [0.25, 0.25, 8],
+         "n_sweeps": 3, "crop_range": [8, -5, 3]}
+    )
+    cfg["capacity"] = {"max_points": 8000, "max_pillars": 4000,
+                       "max_instances": 8, "max_fg_points": 0}
+    cfg["data"].update({"n_frames": 3, "freq": 10.0, "max_speed": 20})
+    # n_kpts above any frame's background-pillar count -> the reference's
+    # draw is deterministic (arange + last fill); asserted below
+    cfg["pose_estimation"].update(
+        {"n_kpts": 2048, "approx_sampling": False,
+         "deterministic_sampling": True, "sparse_eval": False}
+    )
+    cfg["tpointnet"].update({"n_iterations": 2, "min_points": 5})
+    cfg["unet"].update({"depth": 3, "s2d_level0": False})
+    cfg["pillar_encoder"]["depth"] = 2
+    cfg["warp_mode"] = "gather"
+    cfg["precision"] = {"compute_dtype": "float32"}
+    return derive(cfg)
+
+
+@pytest.fixture(scope="module")
+def shared():
+    cfg = parity_cfg()
+    samples = [
+        prep_sample(
+            generate_sample(
+                seed=10 + i, n_frames=3, freq=10.0, n_static_clusters=8,
+                n_dynamic=2, pts_per_cluster=120, pts_per_object=90, area=6.0,
+            ),
+            cfg, augment=False,
+        )
+        for i in range(2)
+    ]
+    batch = collate(samples)
+
+    ref_mn = ref_exec.load_reference_motionnet()
+    torch.manual_seed(0)
+    tmodel = ref_mn.MotionNet(ref_exec.ref_config(cfg, mode="val"))
+    # the reference zero-inits ResnetBlockFC.fc_1 (pillar_encoder.py:44);
+    # randomize so the residual path carries signal in the parity check,
+    # and perturb BN running stats so eval-mode BN is non-trivially tested
+    g = torch.Generator().manual_seed(1)
+    for name, mod in tmodel.named_modules():
+        if name.startswith("pillar_encoder.blocks") and name.endswith(
+                ("fc_1",)):
+            torch.nn.init.normal_(mod.weight, std=0.1, generator=g)
+        if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            mod.running_mean += torch.randn(
+                mod.running_mean.shape, generator=g) * 0.05
+            mod.running_var *= (
+                1.0 + 0.2 * torch.rand(mod.running_var.shape, generator=g))
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = tc.convert_state_dict(
+        sd, pillar_depth=cfg["pillar_encoder"]["depth"],
+        unet_depth=cfg["unet"]["depth"],
+    )
+
+    input_dict = ref_exec.build_input_dict(batch, cfg)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    model = MotionNet(cfg)
+    return cfg, tmodel, model, params, stats, batch, jbatch, input_dict
+
+
+def _run_torch(tmodel, input_dict, train_bn):
+    import types
+
+    tmodel.warp_feats = types.MethodType(ref_exec.fixed_warp_feats, tmodel)
+    tmodel.train(train_bn)
+    with torch.no_grad():
+        res = tmodel({k: (v.clone() if torch.is_tensor(v) else v)
+                      for k, v in input_dict.items()})
+    return res
+
+
+def _run_ours(model, params, stats, jbatch, train_bn):
+    out = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jbatch, train=train_bn, mode="val",
+        mutable=["batch_stats"] if train_bn else False,
+    )
+    return out[0] if train_bn else out
+
+
+def _assert_sampling_regime(res_t, batch, cfg):
+    """Every frame's BG pillar count must be < n_kpts (the deterministic
+    regime this test relies on) and nonzero."""
+    occ = np.asarray(res_t["occ_map"].numpy())  # [B, T, 1, Ny, Nx]
+    fb = np.asarray(res_t["fb_seg_est"].detach().numpy()).argmax(2)  # [B,T,Ny,Nx]
+    n_kpts = cfg["pose_estimation"]["n_kpts"]
+    bg_counts = ((occ[:, :, 0] > 0) & (fb == 0)).sum(axis=(2, 3))
+    assert bg_counts.max() < n_kpts, bg_counts
+    assert bg_counts.min() > 64, bg_counts
+
+
+@pytest.mark.parametrize("train_bn", [False, True], ids=["eval_bn", "train_bn"])
+def test_composed_forward_parity(shared, train_bn):
+    cfg, tmodel, model, params, stats, batch, jbatch, input_dict = shared
+    res_t = _run_torch(tmodel, input_dict, train_bn)
+    res_j = _run_ours(model, params, stats, jbatch, train_bn)
+    _assert_sampling_regime(res_t, batch, cfg)
+
+    # ---- FB logits over the full canvas --------------------------------
+    fb_t = np.moveaxis(res_t["fb_seg_est"].numpy(), 2, -1)  # [B,T,Ny,Nx,2]
+    fb_j = np.asarray(res_j["fb_seg_est"])
+    np.testing.assert_allclose(fb_j, fb_t, atol=2e-4, rtol=1e-4)
+
+    # per-point FB decisions identical
+    fbp_t = res_t["fb_est_per_points"].numpy()[:, 0]
+    fbp_j = ref_exec.flatten_ours(batch, np.asarray(res_j["fb_est_per_points"]))
+    assert (fbp_t == fbp_j).mean() > 0.999, (fbp_t != fbp_j).sum()
+
+    # ---- ego motion -----------------------------------------------------
+    ego_t = res_t["ego_motion_est"].numpy()
+    ego_j = np.asarray(res_j["ego_motion_est"])
+    np.testing.assert_allclose(ego_j, ego_t, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(res_j["ego_motion_gt"]), res_t["ego_motion_gt"].numpy(),
+        atol=1e-5,
+    )
+    for key, tol in (("ego_l1_loss", 2e-3), ("ego_l2_loss", 2e-3),
+                     ("ego_rot_error", 5e-2), ("ego_trans_error", 2e-3)):
+        v_t = float(res_t[key]) if not torch.is_tensor(res_t[key]) else float(res_t[key])
+        assert abs(float(res_j[key]) - v_t) < tol, (key, float(res_j[key]), v_t)
+
+    # ---- transformed points / MOS / offset ------------------------------
+    tp_t = res_t["transformed_points"].numpy()
+    tp_j = ref_exec.flatten_ours(batch, np.asarray(res_j["transformed_points"]))
+    np.testing.assert_allclose(tp_j, tp_t, atol=5e-3)
+
+    mos_t = res_t["mos_est"].numpy()
+    mos_j = ref_exec.flatten_ours(batch, np.asarray(res_j["mos_est"]))
+    np.testing.assert_allclose(mos_j, mos_t, atol=5e-3)
+
+    off_t = res_t["offset_est"].numpy()
+    off_j = ref_exec.flatten_ours(batch, np.asarray(res_j["offset_est"]))
+    np.testing.assert_allclose(off_j, off_t, atol=5e-3)
+
+    # ---- reconstruction -------------------------------------------------
+    # train-BN tolerance note: with random weights the regressor rows are
+    # near-duplicates, so the TPointNet BN's batch variance is ~1e-5 and
+    # (x - mean)/sqrt(var + eps) amplifies fp-level input differences
+    # ~300x per BN layer; two BN layers x two AlignNet iterations compound
+    # to ~1e-1 on a few rows. Verified non-semantic in debug: the BN input
+    # rows agree to 3e-5 and their batch mean/var to 1e-7/1e-7 — only the
+    # normalized outputs diverge. Eval mode (running stats, var ~1) has no
+    # such amplification and stays at 1e-2.
+    rec_tol = 2e-1 if train_bn else 1e-2
+    rec_t = res_t["rec_est"].numpy()
+    rec_j = ref_exec.flatten_ours(batch, np.asarray(res_j["rec_est"]))
+    np.testing.assert_allclose(rec_j, rec_t, atol=rec_tol)
+
+    err_tol = 2e-2 if train_bn else 5e-3
+    for key in ("inst_l2_error", "dynamic_inst_l2_error"):
+        assert abs(float(res_j[key]) - float(res_t[key])) < err_tol, (
+            key, float(res_j[key]), float(res_t[key]))

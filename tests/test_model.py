@@ -1,3 +1,4 @@
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -323,6 +324,89 @@ def test_egomotion_strategies_recover_pose(strategy):
         assert rot_err < 0.5, (strategy, t, rot_err)
         assert trans_err < 0.1, (strategy, t, trans_err)
     assert float(out["ego_rot_error"]) < 0.5
+
+
+def test_sampling_deviations_pose_error_parity():
+    """Statistical sanity for the documented keypoint-draw deviations
+    (models/egomotion.py module docstring): (1) the random draw's marginal
+    over background pillars is uniform (chi-square), and (2) reusing one
+    draw per frame across pairs + duplicating the first drawn pillar on
+    shortfall yields the same pose-error distribution as the reference's
+    per-pair re-draw + duplicate-last rule (egomotion.py:155-167)."""
+    from scipy.spatial.transform import Rotation
+
+    from pcaccumulation_tpu.models.egomotion import draw_keypoints
+    from pcaccumulation_tpu.ops import se3 as se3_ops
+    from pcaccumulation_tpu.ops.kabsch import weighted_kabsch
+    from pcaccumulation_tpu.ops.sinkhorn import log_sinkhorn, square_distance
+
+    # ---- (1) marginal uniformity ---------------------------------------
+    m, n_valid, n_draw, n_seeds = 600, 400, 64, 800
+    mask = jnp.zeros((1, 1, m), bool).at[:, :, :n_valid].set(True)
+
+    @jax.jit
+    def one_draw(key):
+        idx = draw_keypoints(key, mask, n_draw, approx=False,
+                             deterministic=False)
+        return jnp.zeros(m, jnp.int32).at[idx.reshape(-1)].add(1)
+
+    counts = np.stack([
+        np.asarray(one_draw(jax.random.key(s))) for s in range(n_seeds)
+    ]).sum(0)
+    assert counts[n_valid:].sum() == 0  # never draws masked rows
+    expected = n_seeds * n_draw / n_valid
+    chi2 = float(((counts[:n_valid] - expected) ** 2 / expected).sum())
+    # chi2 ~ ChiSq(n_valid - 1): mean 399, std ~28; 6 sigma ~ [230, 570]
+    assert 230 < chi2 < 570, chi2
+
+    # ---- (2) pose-error distribution: reuse vs per-pair redraw ---------
+    rng = np.random.default_rng(7)
+    per, c, n_kpts = 300, 16, 256  # shortfall regime: duplication active
+    base = (rng.random((per, 3)) * 20 - 10).astype(np.float32)
+    feats0 = rng.normal(size=(per, c)).astype(np.float32)
+    feats0 /= np.linalg.norm(feats0, axis=-1, keepdims=True)
+    feats = feats0 + rng.normal(size=(per, c)).astype(np.float32) * 0.15
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = Rotation.from_euler("z", 3.0, degrees=True).as_matrix()
+    pose[:3, 3] = [0.4, -0.3, 0.0]
+    inv = np.linalg.inv(pose)
+    src_pts = (base @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+    coords = jnp.asarray(np.stack([base, src_pts]))   # [2, per, 3]
+    fmat = jnp.asarray(np.stack([feats0, feats]))     # [2, per, C]
+    fmask = jnp.ones((1, 2, per), bool)
+
+    @functools.partial(jax.jit, static_argnames=("dup_last",))
+    def pose_err(key_t, key_s, dup_last):
+        idx_t = draw_keypoints(key_t, fmask[:, :1], n_kpts, approx=False,
+                               deterministic=False)[0, 0]
+        idx_s = draw_keypoints(key_s, fmask[:, 1:], n_kpts, approx=False,
+                               deterministic=False)[0, 0]
+        if dup_last:  # reference shortfall rule: duplicate the LAST point
+            idx_t = jnp.where(jnp.arange(n_kpts) < per, idx_t, per - 1)
+            idx_s = jnp.where(jnp.arange(n_kpts) < per, idx_s, per - 1)
+        ct, cs = coords[0][idx_t], coords[1][idx_s]
+        ft, fs = fmat[0][idx_t], fmat[1][idx_s]
+        aff = -(square_distance(fs[None], ft[None], normalised=True) + 5.0)
+        perm = jnp.exp(log_sinkhorn(aff, n_iters=3, slack=True))[0]
+        row = perm.sum(-1)
+        wt = perm @ ct / (row[:, None] + 1e-20)
+        rot, _ = weighted_kabsch(cs[None], wt[None], row[None])
+        return se3_ops.rotation_error_deg(rot[0], jnp.asarray(pose[:3, :3]))
+
+    n_rep = 48
+    reuse, redraw, duplast = [], [], []
+    for s in range(n_rep):
+        k1, k2, k3 = (jax.random.key(3 * s + i) for i in range(3))
+        reuse.append(float(pose_err(k1, k2, False)))
+        redraw.append(float(pose_err(k3, k2, False)))   # tgt re-drawn
+        duplast.append(float(pose_err(k1, k2, True)))
+    reuse, redraw, duplast = map(np.asarray, (reuse, redraw, duplast))
+    for other, name in ((redraw, "per-pair redraw"), (duplast, "dup-last")):
+        sem = np.sqrt(reuse.var() / n_rep + other.var() / n_rep)
+        assert abs(reuse.mean() - other.mean()) < 4 * sem + 1e-3, (
+            name, reuse.mean(), other.mean(), sem)
 
 
 def test_temporal_banded_conv_matches_conv3d():
