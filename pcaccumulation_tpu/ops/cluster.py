@@ -147,10 +147,21 @@ def dbscan_labels(
     return jnp.where(valid & (labels < _BIG), labels, -1)
 
 
-def filter_and_canonicalise(labels, valid, min_cluster_size: int):
+def filter_and_canonicalise(labels, valid, min_cluster_size: int,
+                            order: str = "first"):
     """Drop clusters smaller than min_cluster_size, then renumber clusters
-    1..C by first appearance; noise/background -> 0
-    (models/cluster.py:36-49 + toolbox/utils.py:237)."""
+    1..C; noise/background -> 0 (models/cluster.py:36-49 +
+    toolbox/utils.py:237).
+
+    order:
+      'first' — by first appearance, the reference's
+        canonicalise_random_indice semantics.
+      'size'  — by DESCENDING point count (first appearance breaks ties).
+        The reference is unbounded (alignnet.py:198-206); our test-time
+        instance capacity drops ids >= max_instances
+        (models/motionnet.py), so size ordering makes that overflow shed
+        the SMALLEST clusters instead of arbitrary ones.
+    """
     n = labels.shape[0]
     lab = jnp.where(labels < 0, n, labels)  # noise -> overflow bucket
     sizes = jax.ops.segment_sum(
@@ -159,14 +170,18 @@ def filter_and_canonicalise(labels, valid, min_cluster_size: int):
     keep = sizes[jnp.clip(lab, 0, n)] >= min_cluster_size
     lab = jnp.where((lab < n) & keep, lab, n)
 
-    # first-occurrence rank of each surviving representative label
+    # rank of each surviving representative label
     idx = jnp.arange(n, dtype=jnp.int32)
     first_occ = jax.ops.segment_min(idx, lab, num_segments=n + 1)[:n]
     used = jax.ops.segment_sum(jnp.ones_like(idx), lab, num_segments=n + 1)[:n] > 0
     occ_key = jnp.where(used, first_occ, _BIG)
-    order = jnp.argsort(occ_key)
-    rank = jnp.zeros(n, jnp.int32).at[order].set(idx)
-    new_id = rank + 1  # 1-based cluster ids in first-appearance order
+    if order == "size":
+        size_key = jnp.where(used, -sizes[:n], _BIG)
+        sort_order = jnp.lexsort((occ_key, size_key))
+    else:
+        sort_order = jnp.argsort(occ_key)
+    rank = jnp.zeros(n, jnp.int32).at[sort_order].set(idx)
+    new_id = rank + 1  # 1-based cluster ids
     return jnp.where(lab < n, new_id[jnp.clip(lab, 0, n - 1)], 0)
 
 
@@ -181,10 +196,15 @@ def cluster_moving_points(
     pre_voxel: float = 0.05,
     max_cluster_points: int = 8192,
     n_iters: int = 16,
+    label_order: str = "size",
 ):
     """Full test-time clustering path (models/cluster.py:52-84): shift by
     offset, voxel-downsample, flatten z, DBSCAN, size filter, canonicalise,
-    broadcast back. Returns [N] int32 instance labels (0 = background)."""
+    broadcast back. Returns [N] int32 instance labels (0 = background).
+
+    label_order defaults to 'size' (descending) so the caller's
+    max_instances capacity drop sheds the smallest clusters; pass 'first'
+    for the reference's first-appearance numbering."""
     pts = transformed_points.at[:, :2].add(offset)
     sel = moving & valid
 
@@ -192,7 +212,9 @@ def cluster_moving_points(
     rep_pts = pts[rep_idx].at[:, 2].set(0.0)  # z flattened after downsample
 
     labels_rep = dbscan_labels(rep_pts, rep_valid, eps, min_samples, n_iters)
-    labels_rep = filter_and_canonicalise(labels_rep, rep_valid, min_cluster_size)
+    labels_rep = filter_and_canonicalise(
+        labels_rep, rep_valid, min_cluster_size, order=label_order
+    )
 
     per_point = labels_rep[inverse]
     return jnp.where(sel, per_point, 0).astype(jnp.int32)

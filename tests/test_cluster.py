@@ -71,6 +71,47 @@ def test_voxel_downsample_unique(rng):
         )
 
 
+def test_capacity_overflow_sheds_smallest_clusters(rng):
+    """More clusters than max_instances: with order='size' the ids are
+    1..C by descending point count, so the caller's `label < k_cap` drop
+    (models/motionnet.py test mode) sheds exactly the smallest clusters."""
+    sizes = [120, 90, 70, 50, 40, 30, 25, 20]  # 8 clusters, k_cap = 5
+    centers = [[6 * i, 6 * (i % 3), 0.0] for i in range(len(sizes))]
+    chunks = [
+        rng.normal(scale=0.1, size=(s, 3)) + c for s, c in zip(sizes, centers)
+    ]
+    pts = np.concatenate(chunks).astype(np.float32)
+    n = len(pts)
+    valid = np.ones(n, bool)
+    labels = np.asarray(
+        cluster_moving_points(
+            jnp.asarray(pts), jnp.zeros((n, 2), jnp.float32),
+            jnp.asarray(valid), jnp.asarray(valid),
+            max_cluster_points=1024, pre_voxel=0.01,
+        )
+    )
+    bounds = np.cumsum([0] + sizes)
+    per_cluster = [labels[bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
+    ids = [np.unique(c[c > 0]) for c in per_cluster]
+    assert all(len(i) == 1 for i in ids), ids
+    ids = np.array([i[0] for i in ids])
+    # descending size => ascending canonical id
+    assert list(ids) == sorted(ids), ids
+    # the k_cap drop keeps the k_cap-1 largest clusters
+    k_cap = 5
+    kept = ids[ids < k_cap]
+    assert len(kept) == k_cap - 1
+    assert set(kept) == set(ids[: k_cap - 1]), (kept, ids)
+
+    # 'first' ordering (reference parity) still numbers by appearance
+    from pcaccumulation_tpu.ops.cluster import dbscan_labels
+
+    raw = dbscan_labels(jnp.asarray(pts), jnp.asarray(valid), 0.4, 5)
+    first = np.asarray(filter_and_canonicalise(raw, jnp.asarray(valid), 15, "first"))
+    firsts = [np.unique(first[bounds[i]:bounds[i + 1]]) for i in range(len(sizes))]
+    assert [f[0] for f in firsts] == list(range(1, len(sizes) + 1))
+
+
 def test_cluster_moving_points_end_to_end(rng):
     # two moving objects whose offsets vote toward their centres
     c1, c2 = np.array([2.0, 1.0, 0.5]), np.array([-3.0, 2.0, 0.5])
