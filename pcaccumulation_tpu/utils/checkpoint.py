@@ -40,6 +40,12 @@ def _orbax_dir(path: str) -> str:
 def save_checkpoint(path: str, state: dict, backend: str = "pickle") -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if backend == "pickle":
+        import shutil
+
+        # drop any stale orbax dir at the same logical path: load sniffs
+        # the pickle file first, so leaving both would shadow older data
+        # after a backend migration (and vice versa below)
+        shutil.rmtree(_orbax_dir(path), ignore_errors=True)
         with open(path, "wb") as f:
             pickle.dump(_to_host(state), f)
     elif backend == "orbax":
@@ -47,6 +53,8 @@ def save_checkpoint(path: str, state: dict, backend: str = "pickle") -> None:
 
         import orbax.checkpoint as ocp
 
+        if os.path.isfile(path):
+            os.remove(path)  # stale pickle would shadow the orbax restore
         target = _orbax_dir(path)
         shutil.rmtree(target, ignore_errors=True)  # rolling overwrite
         with ocp.StandardCheckpointer() as ckptr:

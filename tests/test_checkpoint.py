@@ -51,6 +51,37 @@ def test_roundtrip(tmp_path, backend):
             state["opt_state"])
 
 
+@pytest.mark.parametrize("first,second", [("pickle", "orbax"),
+                                          ("orbax", "pickle")])
+def test_cross_backend_migration(tmp_path, first, second):
+    """pickle <-> orbax migration: a run saved with one backend resumes
+    under the other (production configs now default to orbax while the
+    unit-test default stays pickle; load_checkpoint sniffs the format)."""
+    state = _make_state()
+    path = str(tmp_path / "model_latest.ckpt")
+    save_checkpoint(path, state, backend=first)
+    mid = load_checkpoint(path, target=state)
+    _assert_tree_equal(mid["params"], state["params"])
+    # resume continues, next snapshot written by the OTHER backend
+    mid["epoch"] = 8
+    save_checkpoint(path, mid, backend=second)
+    out = load_checkpoint(path, target=state)
+    assert int(np.asarray(out["epoch"])) == 8
+    _assert_tree_equal(out["params"], state["params"])
+    _assert_tree_equal(out["opt_state"], state["opt_state"])
+
+
+def test_production_configs_default_to_orbax():
+    from pcaccumulation_tpu.config import load_config
+
+    for name in ("nuscene", "waymo"):
+        cfg = load_config(f"configs/{name}.yaml")
+        assert cfg["train"]["ckpt_backend"] == "orbax", name
+        # the dataset yaml's partial train block must not clobber defaults
+        assert cfg["train"]["batch_size"] == 4
+        assert cfg["train"]["grad_clip"] == 1.0
+
+
 def test_orbax_rolling_overwrite(tmp_path):
     state = _make_state()
     path = str(tmp_path / "model_best_loss.ckpt")
