@@ -26,17 +26,23 @@ def icp_point_to_point(
     init_pose=None,
     threshold: float = 0.15,
     max_iterations: int = 50,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Refine a rigid pose aligning src -> tgt.
 
     src [N, 3], tgt [M, 3], masks bool. Returns the refined [4, 4] pose
     (composed with init_pose like egomotion.py:25: tsfm @ initial_pose).
+
+    use_pallas=None (default) picks the Pallas tiled-NN kernel on TPU and
+    the jnp reference elsewhere, so TPU runs always exercise the kernel
+    (bench.py's companion check validates it on hardware every round).
     """
     if init_pose is None:
         init_pose = jnp.eye(4, dtype=src.dtype)
     src0 = se3.apply_transform(src, init_pose)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     nn_fn = nn_pallas if use_pallas else nn_bruteforce_ref
     eye = jnp.eye(4, dtype=src.dtype)
 
