@@ -1,0 +1,108 @@
+"""Test-mode pipeline end-to-end on CPU: Tester -> flow_error.npz dumps ->
+evaluation CLI aggregation (reference libs/tester.py:23-114 +
+toolbox/evaluation.py:100-125).
+
+The hardware-trained golden (full table) lives in docs/CONV_r07.md; this
+test pins the PIPELINE on a fixed seed-0 model over the tracked 6-scene
+data/synthetic split so schema or metric drifts fail CI, CPU-sized.
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def tester_run(tmp_path_factory):
+    from pcaccumulation_tpu.config import derive, load_config
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.train.tester import Tester
+
+    cfg = load_config("configs/synthetic.yaml")
+    cfg["misc"]["mode"] = "test"
+    cfg["misc"]["exp_name"] = "tester_ci"
+    # shrink the op-graph like tiny_cfg (CPU compile time)
+    cfg["unet"]["depth"] = 3
+    cfg["pillar_encoder"]["depth"] = 2
+    cfg["pose_estimation"]["sinkhorn_iter"] = 2
+    cfg["pose_estimation"]["n_kpts"] = 128
+    cfg["cluster"]["bfs_iters"] = 8
+    cfg["tpointnet"]["n_iterations"] = 1
+    cfg = derive(cfg)
+
+    save_dir = str(tmp_path_factory.mktemp("tester"))
+    cwd = os.getcwd()
+    workdir = str(tmp_path_factory.mktemp("results_root"))
+    os.symlink(os.path.join(cwd, "data"), os.path.join(workdir, "data"))
+    os.chdir(workdir)
+    try:
+        tester = Tester(cfg, MotionNet(cfg), save_dir=save_dir)
+        stats = tester.test()
+    finally:
+        os.chdir(cwd)
+    return cfg, workdir, save_dir, stats
+
+
+def test_flow_dump_schema(tester_run):
+    """Per-scene flow_error.npz matches the reference dump schema
+    (tester.py:95-107): fp16 errors, int8 time index, bool labels."""
+    _, workdir, _, _ = tester_run
+    scene_dirs = sorted(
+        d for d in os.listdir(os.path.join(workdir, "results", "tester_ci"))
+    )
+    assert len(scene_dirs) == 3  # data/synthetic test split has 3 scenes
+    for scene in scene_dirs:
+        data = np.load(os.path.join(
+            workdir, "results", "tester_ci", scene, "flow_error.npz"))
+        assert set(data.files) == {
+            "fb_label", "sd_label", "epe_per_point", "relative_error",
+            "time_indice",
+        }
+        n = data["epe_per_point"].shape[0]
+        assert n > 0
+        assert data["epe_per_point"].dtype == np.float16
+        assert data["relative_error"].dtype == np.float16
+        assert data["time_indice"].dtype == np.int8
+        assert data["fb_label"].dtype == bool and data["sd_label"].dtype == bool
+        for k in data.files:
+            assert data[k].shape[0] == n
+        assert data["time_indice"].min() >= 1  # anchor frame excluded
+        assert np.all(np.isfinite(data["epe_per_point"].astype(np.float64)))
+
+
+def test_evaluation_cli_aggregates(tester_run):
+    """evaluation.collect_results consumes the dumps and produces the
+    4-line summary tables with finite, deterministic values."""
+    import evaluation
+
+    _, workdir, _, _ = tester_run
+    out1 = evaluation.collect_results(
+        os.path.join(workdir, "results", "tester_ci"),
+        os.path.join(workdir, "results", "tester_ci"), "synthetic")
+    out2 = evaluation.collect_results(
+        os.path.join(workdir, "results", "tester_ci"),
+        os.path.join(workdir, "results", "tester_ci"), "synthetic")
+    flat1 = jax.tree.leaves(out1)
+    flat2 = jax.tree.leaves(out2)
+    assert flat1 and len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        if isinstance(a, (int, float, np.floating)):
+            assert np.isfinite(a)
+            np.testing.assert_allclose(a, b)
+
+
+def test_mos_stats_and_cluster_outputs(tester_run):
+    """Accumulated MOS stats are well-formed and cluster_eval.txt exists
+    (reference tester.py:109-114)."""
+    _, _, save_dir, stats = tester_run
+    inter = np.asarray(stats["intersection"].sum)
+    union = np.asarray(stats["union"].sum)
+    assert inter.shape == (2,)
+    assert np.all(inter <= union + 1e-6)
+    assert os.path.exists(os.path.join(save_dir, "cluster_eval.txt"))
