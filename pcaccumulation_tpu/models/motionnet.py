@@ -30,12 +30,14 @@ from pcaccumulation_tpu.models.pillar_encoder import (
     gather_packed_s2d_at_pillars,
     pillar_stats,
     scatter_pillars_to_bev,
+    scatter_pillars_to_bev_gather,
 )
 from pcaccumulation_tpu.models.stpn import STPN
 from pcaccumulation_tpu.models.tpointnet import AlignNet
 from pcaccumulation_tpu.models.unet import UNet
 from pcaccumulation_tpu.ops import se3
 from pcaccumulation_tpu.ops.bilinear import (
+    temporal_ungrid,
     temporal_ungrid_folded,
     ungrid,
     warp_bev,
@@ -61,6 +63,15 @@ class MotionNet(nn.Module):
         self.max_pillars = cfg["capacity"]["max_pillars"]
         dtype_name = cfg.get("precision", {}).get("compute_dtype", "float32")
         self.compute_dtype = None if dtype_name == "float32" else jnp.dtype(dtype_name)
+        # BEV densification: "scatter" (wide unique row scatter) or "gather"
+        # (inverse-map row gather). "auto" resolves per call (train vs not):
+        # in the VAL/TEST graph at T>=8 production grids XLA's channel-major
+        # canvas layout turns the wide scatter into strided element writes
+        # (5.56 ms traced at T=11, PROFILE_r07) while the gather form
+        # streams (38.49 -> 36.74 ms in situ); the TRAIN graph's layout
+        # assignment differs and the scatter wins there (62.53 vs 63.26 ms),
+        # as it does at T=4 bench shapes (tools/profile_scatter_pack).
+        self.densify_mode = cfg.get("perf", {}).get("densify", "auto")
 
         self.pillar_encoder = PillarFeatureNet(
             num_filters=pe["num_filters"],
@@ -176,7 +187,15 @@ class MotionNet(nn.Module):
         # the scatter runs in f32: a bf16 row scatter measured 2.6x SLOWER
         # than f32 + convert on v5e (sub-word writes), so the compute-dtype
         # hand-off happens after the canvas is dense
-        canvas = scatter_pillars_to_bev(
+        densify = self.densify_mode
+        if densify == "auto":
+            densify = "gather" if (self.n_frames >= 8 and not train) else "scatter"
+        densify_fn = (
+            scatter_pillars_to_bev_gather
+            if densify == "gather"
+            else scatter_pillars_to_bev
+        )
+        canvas = densify_fn(
             packed.astype(jnp.float32), pillar_coords, pillar_valid, t,
             self.grid_hw,
         )  # [B, T, H, W, C+2]
@@ -195,11 +214,24 @@ class MotionNet(nn.Module):
         # warp, STPN, per-point ungrids) operates on this layout — per-frame
         # [B*T, H, W, 32] convs ran at <12 TF/s in T(4,128) tilings and the
         # pallas warp needed full-canvas layout copies before the fold
-        bevf = (
-            bev_feats.reshape(b, t, h, w, cf)
-            .transpose(0, 2, 3, 1, 4)
-            .reshape(b, h, w, t * cf)
-        )
+        # fold formulation: identical values, different HLO. "auto" =
+        # lane-concat in the val/test graph once T*Cf exceeds the 128-lane
+        # width (36.74 -> 36.07 ms at T=11, PROFILE_r07), else the
+        # transpose (T=4 val measured 12.13 vs 12.25 ms; train neutral)
+        fold_mode = self.cfg.get("perf", {}).get("fold", "auto")
+        if fold_mode == "auto":
+            fold_mode = (
+                "concat" if (t * cf > 128 and not train) else "transpose"
+            )
+        if fold_mode == "concat":
+            xr = bev_feats.reshape(b, t, h, w, cf)
+            bevf = jnp.concatenate([xr[:, ti] for ti in range(t)], axis=-1)
+        else:
+            bevf = (
+                bev_feats.reshape(b, t, h, w, cf)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(b, h, w, t * cf)
+            )
 
         # ---- 3. FB segmentation (motionnet.py:188-194) ---------------------
         # logits stay in the compute dtype; the f32 full map exists only for
@@ -504,11 +536,37 @@ class MotionNet(nn.Module):
         # per-point backbone lookup (motionnet.py:206,244)
         # point coords stay f32 (bf16 would quantize sample positions to
         # ~0.1 m); only the gathered feature rows are reduced precision
-        backbone_pp = jax.vmap(
-            lambda fm, pts, tid: temporal_ungrid_folded(
-                fm, pts[:, :2], tid, self.pc_range[0], t
+        ungrid_src = self.cfg.get("perf", {}).get("ungrid_src", "auto")
+        if ungrid_src == "auto":
+            ungrid_src = (
+                "tmajor"
+                if (t * bev_feats.shape[-1] > 128 and not train)
+                else "folded"
             )
-        )(bev_gather, r_points_raw, r_tid).astype(jnp.float32)  # [B, S, C]
+        if ungrid_src == "tmajor":
+            # gather from the PRE-fold t-major UNet output instead of the
+            # folded canvas: the folded [H,W,T*C] -> [H*W*T, C] view is NOT
+            # free under TPU tiled layouts once T*C exceeds the lane width
+            # (352 -> 384-lane repack traced 1.19 ms at T=11, PROFILE_r07);
+            # the t-major [T,H,W,C] -> [T*H*W, C] collapse of major dims
+            # keeps the physical layout (parity:
+            # test_temporal_ungrid_folded_matches_unfolded)
+            bev_tmajor = jax.lax.stop_gradient(bev_feats).reshape(
+                b, t, h, w, cf
+            )
+            if self.compute_dtype is not None:
+                bev_tmajor = bev_tmajor.astype(self.compute_dtype)
+            backbone_pp = jax.vmap(
+                lambda fm, pts, tid: temporal_ungrid(
+                    fm, pts[:, :2], tid, self.pc_range[0]
+                )
+            )(bev_tmajor, r_points_raw, r_tid).astype(jnp.float32)
+        else:
+            backbone_pp = jax.vmap(
+                lambda fm, pts, tid: temporal_ungrid_folded(
+                    fm, pts[:, :2], tid, self.pc_range[0], t
+                )
+            )(bev_gather, r_points_raw, r_tid).astype(jnp.float32)  # [B, S, C]
         mos_pp = jax.vmap(
             lambda fm, pts: ungrid(fm, pts[:, :2], self.pc_range[0])
         )(mos_map, r_points)  # [B, S, 64]

@@ -558,3 +558,30 @@ def test_subset_loss_matches_map_loss():
         np.testing.assert_allclose(float(outs["sub"][k]),
                                    float(outs["full"][k]),
                                    rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_perf_knob_variants_forward_identical(setup):
+    """The layout/formulation knobs (perf.densify/fold/ungrid_src,
+    PROFILE_r07) must be pure performance choices: forcing the
+    production-T=11 forms on the tiny graph reproduces the legacy
+    forward exactly (same params, same rngs)."""
+    cfg, _, variables, jbatch = setup
+    import copy
+
+    def run(perf):
+        c = copy.deepcopy(cfg)
+        c["perf"] = perf
+        m = MotionNet(c)
+        return m.apply(variables, jbatch, train=False, mode="val",
+                       rngs={"sample": jax.random.key(5)})
+
+    legacy = run({"densify": "scatter", "fold": "transpose",
+                  "ungrid_src": "folded"})
+    new = run({"densify": "gather", "fold": "concat",
+               "ungrid_src": "tmajor"})
+    for k in ("rec_est", "mos_est", "ego_motion_est", "offset_est",
+              "fb_est_per_points"):
+        np.testing.assert_allclose(
+            np.asarray(legacy[k]), np.asarray(new[k]), atol=1e-5,
+            err_msg=k,
+        )

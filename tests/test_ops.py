@@ -537,3 +537,38 @@ def test_gather_bev_at_pillars_grad_parity(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(vjp_new(cot)[0]),
                                np.asarray(vjp_ref(cot)[0]), atol=1e-6)
+
+
+def test_densify_gather_matches_scatter_fwd_and_grad(rng):
+    """scatter_pillars_to_bev_gather (inverse-map row gather, PROFILE_r07)
+    must be value- AND gradient-identical to scatter_pillars_to_bev on
+    unique valid cells, including invalid-pillar handling."""
+    from pcaccumulation_tpu.models.pillar_encoder import (
+        pillar_flat_index,
+        scatter_pillars_to_bev,
+        scatter_pillars_to_bev_gather,
+    )
+
+    b, t, h, w, c, m = 2, 4, 8, 8, 6, 24
+    feats = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.integers(0, t, (b, m)), rng.integers(0, h, (b, m)),
+                  rng.integers(0, w, (b, m))], -1).astype(np.int32))
+    flat = np.asarray(pillar_flat_index(coords, (h, w)))
+    # valid = first occurrence of each cell, minus a random 20% (the
+    # voxelizer guarantees valid cells are unique; invalid rows may collide)
+    valid = np.stack([
+        np.isin(np.arange(m), np.unique(flat[bi], return_index=True)[1])
+        for bi in range(b)
+    ]) & (rng.random((b, m)) > 0.2)
+    valid = jnp.asarray(valid)
+
+    cot = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+    out_g, vjp_g = jax.vjp(
+        lambda f: scatter_pillars_to_bev_gather(f, coords, valid, t, (h, w)),
+        feats)
+    out_s, vjp_s = jax.vjp(
+        lambda f: scatter_pillars_to_bev(f, coords, valid, t, (h, w)), feats)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_g(cot)[0]),
+                               np.asarray(vjp_s(cot)[0]), atol=1e-6)

@@ -52,13 +52,16 @@ def nuscene_batch(cfg):
     return collate([prep_sample(data, cfg, augment=False)])
 
 
-def capture(batch_size: int = 1, train: bool = False, preset: str = "bench"):
+def capture(batch_size: int = 1, train: bool = False, preset: str = "bench",
+            perf: dict | None = None):
     if preset == "nuscene":
         cfg = nuscene_cfg()
         batch = nuscene_batch(cfg)
     else:
         cfg = bench_cfg(batch_size)
         batch = make_batch(cfg, batch_size)
+    if perf:
+        cfg.setdefault("perf", {}).update(perf)
     jbatch = jax.tree.map(jnp.asarray, batch)
     model = MotionNet(cfg)
     init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
@@ -153,5 +156,10 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bs = int(args[0]) if args else 1
     preset = "nuscene" if "--nuscene" in sys.argv else "bench"
-    capture(bs, train="--train" in sys.argv, preset=preset)
+    perf = {}
+    for a in sys.argv[1:]:
+        for key in ("densify", "fold", "ungrid_src"):
+            if a.startswith(f"--{key}="):
+                perf[key] = a.split("=", 1)[1]
+    capture(bs, train="--train" in sys.argv, preset=preset, perf=perf)
     report(top=40 if "--train" in sys.argv else 32)
