@@ -94,6 +94,13 @@ class STPN(nn.Module):
             x = x.astype(self.dtype)
         b_, h_, w_, _ = x.shape
         t_ = self.n_frames
+        # NOTE (PROFILE_r08): in TRAIN graphs at T*C > 128 XLA materialises
+        # each conv's im2col window stack ([H, W, T*C, 3] shifted relu
+        # copies) as a residual shared by the forward conv and the backward
+        # wgrad (~4.3 ms traced at T=11). Per-layer nn.remat to force
+        # recomputation was measured NEUTRAL (62.66 vs 62.53 ms at B=1,
+        # 256.3 vs 256.9 ms at B=4) — the windows cost the same wherever
+        # they are built — so the stack stays untransformed.
         for i in range(4):
             x = nn.relu(
                 TemporalBandedConv(self.feat_dim, t_, dtype=self.dtype,

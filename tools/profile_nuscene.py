@@ -43,6 +43,27 @@ def time_chained(step, args, n1=3, n2=23, repeats=3):
     return best / (n2 - n1)
 
 
+def batched(batch_fn, cfg, n):
+    """Collate n independently generated synthetic scenes."""
+    if n == 1:
+        return batch_fn(cfg)
+    from pcaccumulation_tpu.data.dataset import prep_sample
+    from pcaccumulation_tpu.data.loader import collate
+    from pcaccumulation_tpu.data.synthetic import generate_sample
+
+    t = cfg["voxel_generator"]["n_sweeps"]
+    return collate([
+        prep_sample(
+            generate_sample(seed=i, n_frames=t, freq=20.0,
+                            n_static_clusters=40, n_dynamic=6,
+                            pts_per_cluster=900, pts_per_object=400,
+                            area=30.0),
+            cfg, augment=False,
+        )
+        for i in range(n)
+    ])
+
+
 def waymo_cfg():
     from pcaccumulation_tpu.config import derive, load_config
 
@@ -66,21 +87,24 @@ def main():
             ungrid_src = a.split("=", 1)[1]
         if a.startswith("--preset="):
             preset = a.split("=", 1)[1]
+    bsz = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            bsz = int(a.split("=", 1)[1])
     if preset == "bench":
         from bench import bench_cfg, make_batch
 
-        cfg = bench_cfg(1)
-        batch_fn = lambda c: make_batch(c, 1)  # noqa: E731
+        cfg = bench_cfg(bsz)
+        batch = make_batch(cfg, bsz)
     elif preset == "waymo":
         cfg = waymo_cfg()
-        batch_fn = nuscene_batch  # same synthetic generator, waymo shapes
+        batch = batched(nuscene_batch, cfg, bsz)
     else:
         cfg = nuscene_cfg()
-        batch_fn = nuscene_batch
+        batch = batched(nuscene_batch, cfg, bsz)
     cfg.setdefault("perf", {})["densify"] = densify
     cfg["perf"]["fold"] = fold
     cfg["perf"]["ungrid_src"] = ungrid_src
-    batch = batch_fn(cfg)
     jbatch = jax.tree.map(jnp.asarray, batch)
     model = MotionNet(cfg)
     init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
@@ -144,8 +168,9 @@ def main():
     per = time_chained(step, args)
     mode = "train step" if train else "val fwd"
     t = cfg["voxel_generator"]["n_sweeps"]
-    print(f"{preset} T={t} {mode} [densify={densify} fold={fold} "
-          f"ungrid={ungrid_src}]: {per * 1e3:.2f} ms ({1.0 / per:.1f} seq/s)")
+    print(f"{preset} T={t} B={bsz} {mode} [densify={densify} fold={fold} "
+          f"ungrid={ungrid_src}]: "
+          f"{per * 1e3:.2f} ms/step ({bsz / per:.1f} seq/s)")
 
 
 if __name__ == "__main__":
