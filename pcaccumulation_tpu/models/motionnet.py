@@ -184,9 +184,12 @@ class MotionNet(nn.Module):
             ],
             axis=-1,
         )  # [B, M, C+2]
-        # the scatter runs in f32: a bf16 row scatter measured 2.6x SLOWER
-        # than f32 + convert on v5e (sub-word writes), so the compute-dtype
-        # hand-off happens after the canvas is dense
+        # the densification runs in f32 for BOTH forms: a bf16 row scatter
+        # measured 2.6x slower on v5e (sub-word writes), and a bf16 row
+        # GATHER of the 34-lane rows measured 2.4 ms slower in situ at
+        # T=11 (37.70 vs 35.25 ms, PROFILE_r08 — same sub-word access
+        # penalty on the read side), so the compute-dtype hand-off happens
+        # after the canvas is dense in either mode
         densify = self.densify_mode
         if densify == "auto":
             densify = "gather" if (self.n_frames >= 8 and not train) else "scatter"

@@ -10,6 +10,10 @@ MotionNet forward with on-device clustering and instance reconstruction
     out = pred.predict(points, time_idx)       # one T-frame sequence
     for out in pred.predict_stream(scans):     # overlapped host/device
         ...
+    pred.export("model.pcx.npz")               # AOT deployment artifact
+
+    served = ExportedPredictor("model.pcx.npz")  # no flax / ckpt needed
+    out = served.predict(points, time_idx)
 
 Input is the raw sensor stream contract (per-frame sensor-coordinate
 points + frame index, exactly `raw_points`/`time_indice` of the dataset
@@ -134,9 +138,12 @@ class Predictor:
             prep_sample(self._wrap(points, time_idx), self.cfg, augment=False)
         ])
 
+    def _invoke(self, jbatch):
+        return self._step(self.variables, jbatch, self._rng)
+
     def _run(self, batch):
         jbatch = jax.tree.map(jnp.asarray, batch)
-        out = self._step(self.variables, jbatch, self._rng)
+        out = self._invoke(jbatch)
         valid = np.asarray(batch["point_valid"][0])
         res = {k: np.asarray(v)[0][valid] for k, v in out.items()
                if k not in ("ego_motion",)}
@@ -153,6 +160,48 @@ class Predictor:
         (accumulated anchor-frame cloud), flow, mos (1 = moving), fb
         (1 = foreground), inst_labels, offset, and ego_motion [T, 4, 4]."""
         return self._run(self._prep(points, time_idx))
+
+    def export(self, path: str) -> None:
+        """AOT-export the test-mode step to a self-contained artifact.
+
+        Serializes the jitted step via `jax.export` (StableHLO) with the
+        trained variables BAKED IN as constants, bundled with the config
+        (needed for host-side preprocessing) into one `.npz`. The file is
+        loadable by `ExportedPredictor` with no model code, no checkpoint
+        and no flax at serving time — the TPU-native analogue of a
+        torchscript/ONNX deployment bundle (the reference has none; its
+        only inference surface is libs/tester.py:23-114).
+
+        The artifact targets the backend it was exported on
+        (`jax.export` records the lowering platform).
+        """
+        import json
+
+        from jax import export as jexport
+
+        variables, step = self.variables, self._step
+
+        def fn(batch, key_data):
+            return step(variables, batch, jax.random.wrap_key_data(key_data))
+
+        batch = collate([
+            prep_sample(self._dummy_scan(), self.cfg, augment=False)
+        ])
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.asarray(x).shape,
+                                           jnp.asarray(x).dtype),
+            batch,
+        )
+        key_data = jax.random.key_data(self._rng)
+        exported = jexport.export(jax.jit(fn))(
+            abstract,
+            jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
+        )
+        np.savez(
+            path,
+            cfg=json.dumps(self.cfg),
+            blob=np.frombuffer(exported.serialize(), np.uint8),
+        )
 
     def predict_stream(self, scans, prefetch: int = 2):
         """Iterate over (points, time_idx) pairs, overlapping host-side
@@ -180,3 +229,29 @@ class Predictor:
         th.join()
         if err:
             raise err[0]
+
+
+class ExportedPredictor(Predictor):
+    """Serve from a `Predictor.export` artifact: weights and graph come
+    from the serialized StableHLO blob (no flax module is built, no
+    checkpoint is read); the bundled config drives the identical
+    host-side preprocessing. Same `predict` / `predict_stream` API."""
+
+    def __init__(self, path: str, rng_seed: int = 0):
+        import json
+
+        from jax import export as jexport
+
+        with np.load(path, allow_pickle=False) as z:
+            cfg = json.loads(str(z["cfg"]))
+            exported = jexport.deserialize(z["blob"].tobytes())
+        self.cfg = cfg
+        self.n_frames = cfg["voxel_generator"]["n_sweeps"]
+        self._rng = jax.random.key(rng_seed)
+        self._key_data = jax.random.key_data(self._rng)
+        self._exported_call = jax.jit(exported.call)
+        self.variables = None
+        self.model = None
+
+    def _invoke(self, jbatch):
+        return self._exported_call(jbatch, self._key_data)
