@@ -126,9 +126,14 @@ def scatter_pillars_to_bev_gather(pillar_feats, pillar_coords, pillar_valid,
 
     def bwd(idx, g):
         gf = g.reshape(b, size, c)
-        safe = jnp.minimum(idx, size - 1)
+        # clip BOTH ends: a negative flat index (out-of-grid coords — only
+        # possible if the voxelizer's in-range invariant is violated) is
+        # dropped by the forward's .at[].set(mode="drop"), so its cotangent
+        # must be zero too, not a wrap-around row
+        safe = jnp.clip(idx, 0, size - 1)
         rows = jnp.take_along_axis(gf, safe[..., None], axis=1)
-        rows = rows * (idx < size)[..., None].astype(rows.dtype)
+        in_range = (idx >= 0) & (idx < size)
+        rows = rows * in_range[..., None].astype(rows.dtype)
         return rows, None
 
     densify.defvjp(fwd, bwd)

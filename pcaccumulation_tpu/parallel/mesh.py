@@ -51,14 +51,23 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     On TPU pods the arguments auto-detect from the environment
     (jax.distributed.initialize() with no args); pass them explicitly for
-    CPU/GPU clusters. No-op when already initialised or single-process.
+    CPU/GPU clusters. No-op when already initialised. With explicit
+    arguments, initialisation failures PROPAGATE (a mis-addressed
+    coordinator must not silently fall back to single-host); only the
+    argument-free auto-detect call downgrades to single-process when no
+    cluster environment is found. Exercised by tests/test_multihost.py
+    (2 CPU processes over the Gloo collective backend).
     """
-    if jax.process_count() > 1:
-        return  # already initialised
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-process run — nothing to initialise
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return  # no cluster env detected — single-process run
+    else:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
 
 
 def global_batch_from_host_local(batch: dict, mesh: Mesh):

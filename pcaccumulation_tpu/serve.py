@@ -38,6 +38,9 @@ from pcaccumulation_tpu.utils.checkpoint import load_checkpoint, partial_load
 
 _STEP_CACHE: dict = {}
 
+# bump when the artifact schema below changes (keys, blob semantics)
+EXPORT_FORMAT_VERSION = 1
+
 
 def _get_step(model):
     """ONE jitted step per model config, shared across Predictors.
@@ -173,7 +176,13 @@ class Predictor:
         only inference surface is libs/tester.py:23-114).
 
         The artifact targets the backend it was exported on
-        (`jax.export` records the lowering platform).
+        (`jax.export` records the lowering platform); loading it on a
+        different backend raises a clear error up front instead of an
+        opaque StableHLO failure. Artifact schema (format_version 1):
+        `cfg` (json), `blob` (serialized StableHLO), `platforms`,
+        `key_data` + `key_impl` (the export-time PRNG key material, so a
+        different serve-time jax_default_prng_impl cannot cause a silent
+        shape mismatch), `format_version`.
         """
         import json
 
@@ -199,8 +208,12 @@ class Predictor:
         )
         np.savez(
             path,
+            format_version=np.int32(EXPORT_FORMAT_VERSION),
             cfg=json.dumps(self.cfg),
             blob=np.frombuffer(exported.serialize(), np.uint8),
+            platforms=np.array(list(exported.platforms)),
+            key_data=np.asarray(key_data),
+            key_impl=np.array(str(jax.random.key_impl(self._rng))),
         )
 
     def predict_stream(self, scans, prefetch: int = 2):
@@ -243,15 +256,43 @@ class ExportedPredictor(Predictor):
         from jax import export as jexport
 
         with np.load(path, allow_pickle=False) as z:
+            version = int(z["format_version"]) if "format_version" in z else 0
+            if version != EXPORT_FORMAT_VERSION:
+                raise ValueError(
+                    f"export artifact {path!r} has format_version {version}; "
+                    f"this build reads version {EXPORT_FORMAT_VERSION} — "
+                    "re-export with Predictor.export"
+                )
             cfg = json.loads(str(z["cfg"]))
+            platforms = [str(p) for p in z["platforms"]]
+            backend = jax.default_backend()
+            if backend not in platforms:
+                raise RuntimeError(
+                    f"export artifact {path!r} was lowered for "
+                    f"{platforms} but the current backend is "
+                    f"{backend!r}; re-export on this platform (the "
+                    "StableHLO blob bakes in platform-specific lowering)"
+                )
+            if rng_seed == 0:
+                # the export-time key material: immune to a serve-time
+                # jax_default_prng_impl differing from export time
+                key_data = jnp.asarray(z["key_data"])
+            else:
+                key_data = jax.random.key_data(
+                    jax.random.key(rng_seed, impl=str(z["key_impl"])))
             exported = jexport.deserialize(z["blob"].tobytes())
         self.cfg = cfg
         self.n_frames = cfg["voxel_generator"]["n_sweeps"]
-        self._rng = jax.random.key(rng_seed)
-        self._key_data = jax.random.key_data(self._rng)
+        self._key_data = key_data
         self._exported_call = jax.jit(exported.call)
         self.variables = None
         self.model = None
+
+    def export(self, path: str) -> None:
+        raise NotImplementedError(
+            "this Predictor was loaded FROM an export artifact; the "
+            "artifact is the exported form — copy the file instead"
+        )
 
     def _invoke(self, jbatch):
         return self._exported_call(jbatch, self._key_data)

@@ -127,6 +127,18 @@ def load_reference_motionnet():
     return ref_motionnet
 
 
+def load_reference_fuseloss():
+    """Import the reference FuseLoss class (libs/loss.py:52-320) with the
+    same stand-ins; its ctor needs the loss-weight dict plus a 'save_dir'
+    (toolbox/cluster_eval.py:30 opens cluster_eval.txt there)."""
+    _install_stubs()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from libs.loss import FuseLoss  # noqa: delayed import
+
+    return FuseLoss
+
+
 def fixed_warp_feats(self, bev_feats, pose_estimation):
     """Reference warp_feats (motionnet.py:82-114) with the anchor slot
     fixed to frame 0 (deviation #1 in the module docstring)."""

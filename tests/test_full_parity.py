@@ -199,3 +199,123 @@ def test_composed_forward_parity(shared, train_bn):
     for key in ("inst_l2_error", "dynamic_inst_l2_error"):
         assert abs(float(res_j[key]) - float(res_t[key])) < err_tol, (
             key, float(res_j[key]), float(res_t[key]))
+
+
+def test_composed_loss_and_gradient_parity(shared, tmp_path):
+    """The TRAINING SIGNAL, not just the forward: run the reference's own
+    FuseLoss (/root/reference/libs/loss.py:273-320) on the re-executed
+    torch graph and our train/loss.py:fuse_loss on our graph — same
+    state_dict, same scene — and assert (a) every loss term and IoU
+    counter matches, then (b) dLoss/dθ per parameter matches between
+    torch autograd and jax.grad through the composed graph (rel-norm +
+    cosine criteria, as in tests/test_parallel.py).
+
+    Eval-mode BN: train-mode BN's near-zero batch variance amplifies
+    fp-level input noise ~300x per layer (see the rec tolerance note in
+    test_composed_forward_parity), which in the BACKWARD contaminates
+    every upstream gradient; eval BN (running stats, var ~1) exercises
+    the identical loss/grad wiring without the amplifier. The detach
+    seams this pins: ego pose + bev_feats stop-gradients before the warp
+    (/root/reference/models/motionnet.py:205-206), offset GT construction
+    (loss.py:190-245), online CE class weights as constants
+    (loss.py:90-109), γ-decayed TPointNet objective (loss.py:248-258).
+    """
+    import types
+
+    from pcaccumulation_tpu.train.loss import fuse_loss
+
+    cfg, tmodel, model, params, stats, batch, jbatch, input_dict = shared
+
+    # ---- torch: forward WITH grad, reference FuseLoss, backward --------
+    FuseLoss = ref_exec.load_reference_fuseloss()
+    loss_cfg = dict(cfg["loss"])
+    loss_cfg["save_dir"] = str(tmp_path)
+    floss = FuseLoss(loss_cfg)
+    tmodel.warp_feats = types.MethodType(ref_exec.fixed_warp_feats, tmodel)
+    tmodel.train(False)
+    tmodel.zero_grad(set_to_none=True)
+    res_t = tmodel({k: (v.clone() if torch.is_tensor(v) else v)
+                    for k, v in input_dict.items()})
+    stats_t = floss(res_t, input_dict)
+    stats_t["loss"].backward()
+
+    # ---- ours: fuse_loss value + jax.grad through the composed graph ---
+    params_j = jax.tree.map(jnp.asarray, params)
+    stats_tree = jax.tree.map(jnp.asarray, stats)
+
+    def loss_fn(p):
+        res = model.apply({"params": p, "batch_stats": stats_tree},
+                          jbatch, train=False, mode="val")
+        s = fuse_loss(res, jbatch, cfg["loss"],
+                      cfg["capacity"]["max_instances"])
+        return s["loss"], s
+
+    (loss_j, stats_j), grads_j = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params_j)
+
+    # ---- (a) every loss term ------------------------------------------
+    scalar_terms = {
+        "ego_l1_loss": 2e-3, "ego_l2_loss": 2e-3, "ego_rot_error": 5e-2,
+        "ego_trans_error": 2e-3, "perm_loss": 1e-5, "fb_loss": 1e-3,
+        "mos_loss": 2e-3, "offset_loss": 2e-3, "offset_l1_loss": 3e-3,
+        "offset_dir_loss": 2e-3, "offset_l2_error": 3e-3, "obj_loss": 5e-3,
+        "inst_l2_error": 5e-3, "dynamic_inst_l2_error": 5e-3, "loss": 8e-3,
+    }
+    for key, tol in scalar_terms.items():
+        v_t = stats_t[key]
+        v_t = float(v_t.detach()) if torch.is_tensor(v_t) else float(v_t)
+        v_j = float(stats_j[key])
+        assert abs(v_j - v_t) < tol, (key, v_j, v_t)
+    # total loss must actually be a sum of nontrivial parts
+    assert float(stats_j["loss"]) > 0.5
+
+    for mkey in ("fb_metric", "mos_metric"):
+        for ckey in ("intersection", "union", "pred_positives",
+                     "gt_positives"):
+            np.testing.assert_allclose(
+                np.asarray(stats_j[mkey][ckey]),
+                np.asarray(stats_t[mkey][ckey]), atol=1e-6,
+                err_msg=f"{mkey}.{ckey}")
+
+    # ---- (b) per-parameter gradients -----------------------------------
+    # torch grads -> our layout via the SAME converter as the weights
+    # (every mapping is an element permutation / transpose / tap-flip, so
+    # gradients transform identically to parameters)
+    grad_sd = {}
+    for name, p in tmodel.named_parameters():
+        g = p.grad if p.grad is not None else torch.zeros_like(p)
+        grad_sd[name] = g.detach().numpy()
+    for name, buf in tmodel.named_buffers():
+        grad_sd[name] = np.zeros(buf.shape, np.float32)  # converter feed only
+    grads_t, _ = tc.convert_state_dict(
+        grad_sd, pillar_depth=cfg["pillar_encoder"]["depth"],
+        unet_depth=cfg["unet"]["depth"])
+
+    flat_j = jax.tree_util.tree_flatten_with_path(jax.device_get(grads_j))[0]
+    flat_t = jax.tree_util.tree_flatten_with_path(grads_t)[0]
+    assert len(flat_j) == len(flat_t)
+    norms = [max(np.linalg.norm(np.asarray(a, np.float64)),
+                 np.linalg.norm(np.asarray(b, np.float64)))
+             for (_, a), (_, b) in zip(flat_j, flat_t)]
+    # noise floor relative to the largest real gradient in the net: a leaf
+    # whose grad is < 1e-5 of it in BOTH frameworks carries no training
+    # signal and is cancellation residue
+    floor = max(norms) * 1e-5
+    n_checked = n_noise = 0
+    for (path_j, a), (path_t, b) in zip(flat_j, flat_t):
+        assert jax.tree_util.keystr(path_j) == jax.tree_util.keystr(path_t)
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        scale = max(na, nb)
+        if scale < floor:
+            n_noise += 1
+            continue
+        rel = np.linalg.norm(a - b) / scale
+        cos = float(a @ b / (na * nb))
+        assert rel < 0.05, (jax.tree_util.keystr(path_j), rel, scale)
+        assert cos > 0.995, (jax.tree_util.keystr(path_j), cos)
+        n_checked += 1
+    # zero-gradient leaves must stay the exception: the training signal
+    # reaches (nearly) the whole net
+    assert n_checked > 3 * n_noise, (n_checked, n_noise)

@@ -67,6 +67,64 @@ def test_predict_stream_matches_predict():
                                direct["rec_points"], atol=1e-4)
 
 
+def test_export_roundtrip_matches_live_predictor(tmp_path):
+    """export -> load -> predict must equal the live Predictor (the AOT
+    artifact is the rebuild's deployment surface; the reference has none
+    beyond libs/tester.py:23-114)."""
+    from pcaccumulation_tpu.serve import ExportedPredictor
+
+    pred = Predictor(_tiny_cfg())
+    path = str(tmp_path / "model.pcx.npz")
+    pred.export(path)
+
+    served = ExportedPredictor(path)
+    pts, tid = _scan(1)
+    out_live = pred.predict(pts, tid)
+    out_served = served.predict(pts, tid)
+    assert set(out_live) == set(out_served)
+    for key in out_live:
+        np.testing.assert_allclose(
+            out_served[key], out_live[key], atol=1e-5, err_msg=key)
+
+    # graceful failure modes ------------------------------------------------
+    # (a) re-exporting an exported artifact is a contradiction
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="already|artifact"):
+        served.export(str(tmp_path / "again.npz"))
+
+    # (b) version mismatch fails with a clear message, not a blob error
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        arrs = {k: z[k] for k in z.files}
+    arrs["format_version"] = np.int32(999)
+    bad = str(tmp_path / "bad_version.npz")
+    np.savez(bad, **arrs)
+    with pytest.raises(ValueError, match="format_version"):
+        ExportedPredictor(bad)
+
+    # (c) wrong-platform load fails up front with the platform names
+    arrs = {k: v for k, v in arrs.items()}
+    arrs["format_version"] = np.int32(1)
+    arrs["platforms"] = np.array(["tpu"])
+    wrong = str(tmp_path / "wrong_platform.npz")
+    np.savez(wrong, **arrs)
+    with pytest.raises(RuntimeError, match="tpu.*cpu|cpu.*tpu"):
+        ExportedPredictor(wrong)
+
+    # (d) a non-default rng seed derives from the EXPORT-time key impl
+    served2 = ExportedPredictor(path, rng_seed=7)
+    out2 = served2.predict(pts, tid)
+    assert out2["rec_points"].shape == out_served["rec_points"].shape
+
+    # the artifact self-describes
+    with np.load(path, allow_pickle=False) as z:
+        assert int(z["format_version"]) == 1
+        assert "key_impl" in z.files and "key_data" in z.files
+        assert json.loads(str(z["cfg"]))["voxel_generator"]["n_sweeps"] == 3
+
+
 def test_predict_stream_propagates_producer_errors():
     pred = Predictor(_tiny_cfg())
 
