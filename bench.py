@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache: repeat bench runs skip the XLA compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except RuntimeError:
+    pass
+
 from pcaccumulation_tpu.config import load_config, derive
 from pcaccumulation_tpu.data.dataset import prep_sample
 from pcaccumulation_tpu.data.loader import collate

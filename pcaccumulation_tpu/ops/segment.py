@@ -98,9 +98,18 @@ def _segment_max_core(data, segment_ids, num_segments: int,
     def bwd(res, g):
         x, ids, out = res
         winner = x == jnp.take(out, ids, axis=0)
-        nties = jax.ops.segment_sum(
-            winner.astype(jnp.float32), ids, num_segments=num_segments,
-            indices_are_sorted=indices_are_sorted)
+        if num_segments <= 2048 and x.shape[0] * num_segments <= 2 ** 25:
+            # the tie-count is the bwd's only scatter; at small segment
+            # counts a one-hot matmul beats it (the TPointNet alignment
+            # pool's bwd traced 1.11 ms with the scatter vs the matmul's
+            # trivial 2*N*S*C MXU FLOPs, PROFILE_r09). The N*S guard keeps
+            # the one-hot materialisation under ~128 MB f32.
+            nties = _dense_masked_segment_sum(
+                winner.astype(jnp.float32), ids, None, num_segments)
+        else:
+            nties = jax.ops.segment_sum(
+                winner.astype(jnp.float32), ids, num_segments=num_segments,
+                indices_are_sorted=indices_are_sorted)
         share = g.astype(jnp.float32) / jnp.maximum(nties, 1.0)
         grad = jnp.where(winner, jnp.take(share, ids, axis=0), 0.0)
         return grad.astype(x.dtype), None

@@ -97,16 +97,23 @@ def offset_loss(batch, results, max_instances):
     b, n, _ = points.shape
     k = max_instances
 
-    comp = se3.ego_motion_compensation(
-        points, time_idx, batch["ego_motion_gt"].astype(jnp.float32)
+    # GT reconstruction = inst_motion[k, t] @ ego_motion[t] applied per
+    # point. Composing the two [K*T]-sized transform tables FIRST (a few
+    # hundred 4x4 matmuls) replaces two full-N gather-transform passes
+    # with one — the chained ego-comp + reconstruct form traced in the
+    # 1.37 ms se3 bucket at T=11 (PROFILE_r09)
+    ego_gt = batch["ego_motion_gt"].astype(jnp.float32)       # [B, T, 4, 4]
+    inst_gt = batch["inst_motion_gt"].astype(jnp.float32)     # [B, K, T, 4, 4]
+    composed = jnp.einsum(
+        "bktij,btjl->bktil", inst_gt, ego_gt,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    # per-sample reconstruct with GT instance motion
     gid = (jnp.arange(b, dtype=jnp.int32)[:, None] * k + inst).reshape(-1)
     rec = se3.reconstruct_sequence(
-        comp.reshape(-1, 3),
+        points.reshape(-1, 3),
         time_idx.reshape(-1),
         gid,
-        batch["inst_motion_gt"].astype(jnp.float32).reshape(b * k, -1, 4, 4),
+        composed.reshape(b * k, -1, 4, 4),
     )
     centers = masked_segment_mean(rec, gid, valid.reshape(-1), b * k + 1)[: b * k]
     center_pp = centers[jnp.clip(gid, 0, b * k - 1)].reshape(b, n, 3)

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from pcaccumulation_tpu.config import derive, load_config
 from pcaccumulation_tpu.data.synthetic import generate_sample
-from pcaccumulation_tpu.serve import Predictor
+from pcaccumulation_tpu.serve import EXPORT_FORMAT_VERSION, Predictor
 
 
 def _tiny_cfg():
@@ -106,7 +106,7 @@ def test_export_roundtrip_matches_live_predictor(tmp_path):
 
     # (c) wrong-platform load fails up front with the platform names
     arrs = {k: v for k, v in arrs.items()}
-    arrs["format_version"] = np.int32(1)
+    arrs["format_version"] = np.int32(EXPORT_FORMAT_VERSION)
     arrs["platforms"] = np.array(["tpu"])
     wrong = str(tmp_path / "wrong_platform.npz")
     np.savez(wrong, **arrs)
@@ -120,7 +120,7 @@ def test_export_roundtrip_matches_live_predictor(tmp_path):
 
     # the artifact self-describes
     with np.load(path, allow_pickle=False) as z:
-        assert int(z["format_version"]) == 1
+        assert int(z["format_version"]) == EXPORT_FORMAT_VERSION
         assert "key_impl" in z.files and "key_data" in z.files
         assert json.loads(str(z["cfg"]))["voxel_generator"]["n_sweeps"] == 3
 

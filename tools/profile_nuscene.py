@@ -112,6 +112,7 @@ def main():
         {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
     )
 
+    label = f"densify={densify} fold={fold} ungrid={ungrid_src}"
     if not train:
         def many(v, b, n):
             def body(i, acc):
@@ -168,8 +169,7 @@ def main():
     per = time_chained(step, args)
     mode = "train step" if train else "val fwd"
     t = cfg["voxel_generator"]["n_sweeps"]
-    print(f"{preset} T={t} B={bsz} {mode} [densify={densify} fold={fold} "
-          f"ungrid={ungrid_src}]: "
+    print(f"{preset} T={t} B={bsz} {mode} [{label}]: "
           f"{per * 1e3:.2f} ms/step ({bsz / per:.1f} seq/s)")
 
 
