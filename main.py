@@ -21,6 +21,23 @@ from pcaccumulation_tpu.models import MotionNet
 from pcaccumulation_tpu.utils.logging import setup_seed
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache: repeat CLI runs (resume, val sweeps,
+    the README sanity check) skip the minutes-long first TPU compile.
+    Same repo-local cache dir as __graft_entry__ / tests/conftest."""
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except (RuntimeError, OSError):
+        pass  # cache is an optimisation, never a hard requirement
+
+
 def build_loaders(cfg):
     import jax
 
@@ -69,20 +86,31 @@ def main(argv):
     cfg["train"]["batch_size"] = batch_size
     cfg["train"]["iter_size"] = iter_size
     setup_seed(cfg["misc"]["seed"])
+    enable_compile_cache()
 
-    # data-parallel mesh: every sharded batch's leading axis must divide
-    # by the mesh size — align the val loader with the train batch
+    # mesh geometry: every sharded batch's leading axis must divide by the
+    # DATA factor of the (data x frame x spatial) mesh — align the val
+    # loader with the train batch
     n_dev = cfg.get("parallel", {}).get("num_devices", 1)
-    if n_dev != 1:
+    n_frame = cfg.get("parallel", {}).get("frame_devices", 1)
+    n_spatial = cfg.get("parallel", {}).get("spatial_devices", 1)
+    model_factor = n_frame * n_spatial
+    if n_dev != 1 or model_factor > 1:
         import jax
 
         mesh_size = len(jax.devices()) if n_dev == 0 else n_dev
-        if batch_size % mesh_size:
+        if mesh_size % model_factor:
+            raise SystemExit(
+                f"num_devices {mesh_size} not divisible by frame_devices "
+                f"{n_frame} x spatial_devices {n_spatial}"
+            )
+        data_size = mesh_size // model_factor
+        if batch_size % data_size:
             raise SystemExit(
                 f"batch_size {batch_size} not divisible by the "
-                f"{mesh_size}-device data mesh"
+                f"{data_size}-way data axis of the mesh"
             )
-        if cfg["val"]["batch_size"] % mesh_size:
+        if cfg["val"]["batch_size"] % data_size:
             cfg["val"]["batch_size"] = batch_size
 
     save_dir = os.path.join("snapshot", cfg["misc"]["exp_name"])
@@ -93,14 +121,17 @@ def main(argv):
     model = MotionNet(cfg)
     loaders = build_loaders(cfg)
 
-    # data-parallel mesh: parallel.num_devices > 1 shards batches over
-    # the local devices (0 = all); XLA inserts the gradient psums
+    # parallel mesh: num_devices > 1 shards batches over the data axis
+    # (0 = all local devices); frame_devices > 1 additionally shards the
+    # per-frame backbone over the temporal frames; spatial_devices > 1
+    # over the BEV rows. XLA inserts every collective (gradient psums,
+    # frame/band all-gathers, conv halo exchanges) from the annotations.
     mesh = None
-    n_dev = cfg.get("parallel", {}).get("num_devices", 1)
-    if n_dev != 1:
+    if n_dev != 1 or model_factor > 1:
         from pcaccumulation_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(None if n_dev == 0 else n_dev)
+        mesh = make_mesh(None if n_dev == 0 else n_dev,
+                         frame_devices=n_frame, spatial_devices=n_spatial)
 
     mode = cfg["misc"]["mode"]
     if mode in ("train", "val"):

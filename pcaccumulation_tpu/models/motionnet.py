@@ -63,6 +63,25 @@ class MotionNet(nn.Module):
         self.max_pillars = cfg["capacity"]["max_pillars"]
         dtype_name = cfg.get("precision", {}).get("compute_dtype", "float32")
         self.compute_dtype = None if dtype_name == "float32" else jnp.dtype(dtype_name)
+        # frame-axis sequence parallelism (parallel/mesh.py FRAME_AXIS):
+        # when the run's mesh has a `frame` axis, constrain the per-frame
+        # backbone (canvas -> UNet -> heads) to shard over it; the post-UNet
+        # fold all-gathers the frames for the temporal fusion. Constraints
+        # use bare PartitionSpecs, so the step must trace under `with mesh:`
+        # (trainer and tests do). SURVEY.md §2.4: the per-frame UNet is
+        # embarrassingly parallel across T until the STPN fusion.
+        self.shard_frames = (
+            cfg.get("parallel", {}).get("frame_devices", 1) > 1
+        )
+        # spatial partitioning (parallel/mesh.py SPATIAL_AXIS): shard the
+        # BEV row (H) axis through the same backbone — GSPMD inserts the
+        # per-conv halo exchanges and the BN-statistics all-reduces; the
+        # fold gathers the bands back with the frames. The conv-net
+        # analogue of tensor parallelism (no reference counterpart —
+        # SURVEY §2.4, single GPU).
+        self.shard_spatial = (
+            cfg.get("parallel", {}).get("spatial_devices", 1) > 1
+        )
         # BEV densification: "scatter" (wide unique row scatter) or "gather"
         # (inverse-map row gather). "auto" resolves per call (train vs not):
         # in the VAL/TEST graph at T>=8 production grids XLA's channel-major
@@ -202,13 +221,39 @@ class MotionNet(nn.Module):
             packed.astype(jnp.float32), pillar_coords, pillar_valid, t,
             self.grid_hw,
         )  # [B, T, H, W, C+2]
+        if self.shard_frames or self.shard_spatial:
+            from jax.sharding import PartitionSpec as P
+
+            from pcaccumulation_tpu.parallel.mesh import (
+                DATA_AXIS,
+                FRAME_AXIS,
+                SPATIAL_AXIS,
+            )
+
+            # [B*T] rows over data (and frame); H bands over spatial
+            bt_spec = (DATA_AXIS, FRAME_AXIS) if self.shard_frames else DATA_AXIS
+            sp_spec = SPATIAL_AXIS if self.shard_spatial else None
+
+            def wsc_bt(x):  # [B*T, H, W, C] backbone activations
+                return jax.lax.with_sharding_constraint(x, P(bt_spec, sp_spec))
+
+            canvas = jax.lax.with_sharding_constraint(
+                canvas,
+                P(DATA_AXIS, FRAME_AXIS if self.shard_frames else None, sp_spec),
+            )
+        else:
+            def wsc_bt(x):
+                return x
         bev = canvas[..., :c]
         results["occ_map"] = jax.lax.stop_gradient(canvas[..., c:c + 1])
         results["fb_seg_gt"] = jax.lax.stop_gradient(canvas[..., c + 1:c + 2])
         if self.s2d_active:
-            bev_feats, bev_feats_s2d = self.unet(bev.reshape(b * t, h, w, c))
+            bev_feats, bev_feats_s2d = self.unet(
+                wsc_bt(bev.reshape(b * t, h, w, c))
+            )
+            bev_feats, bev_feats_s2d = wsc_bt(bev_feats), wsc_bt(bev_feats_s2d)
         else:
-            bev_feats = self.unet(bev.reshape(b * t, h, w, c))
+            bev_feats = wsc_bt(self.unet(wsc_bt(bev.reshape(b * t, h, w, c))))
             bev_feats_s2d = None
         # [B*T, H, W, Cf] (+ the pre-d2s s2d view for the heads)
         cf = bev_feats.shape[-1]
@@ -235,6 +280,11 @@ class MotionNet(nn.Module):
                 .transpose(0, 2, 3, 1, 4)
                 .reshape(b, h, w, t * cf)
             )
+        if self.shard_frames or self.shard_spatial:
+            # the temporal fusion consumes every frame (and the warp every
+            # row): XLA materialises the frame/band all-gather here;
+            # downstream stays data-parallel
+            bevf = jax.lax.with_sharding_constraint(bevf, P(DATA_AXIS))
 
         # ---- 3. FB segmentation (motionnet.py:188-194) ---------------------
         # logits stay in the compute dtype; the f32 full map exists only for

@@ -110,11 +110,12 @@ class Trainer:
         init_fn = jax.jit(
             lambda rngs, b: self.model.init(rngs, b, train=False, mode="val")
         )
-        variables = init_fn(
-            {"params": jax.random.key(self.cfg["misc"]["seed"]),
-             "sample": jax.random.key(0)},
-            jbatch,
-        )
+        with self._mesh_ctx():
+            variables = init_fn(
+                {"params": jax.random.key(self.cfg["misc"]["seed"]),
+                 "sample": jax.random.key(0)},
+                jbatch,
+            )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         if "train" in self.loaders:
@@ -125,6 +126,18 @@ class Trainer:
             self.cfg, updates_per_epoch
         )
         self.opt_state = self.optimizer.init(self.params)
+        # ZeRO-1: shard the optimizer moments/accumulators over the data
+        # axis (parallel/mesh.py:zero1_specs) — GSPMD inserts the
+        # all-gather on the parameter-update path; params/grads semantics
+        # are unchanged (equivalence pinned in tests/test_parallel.py)
+        self._opt_specs = None
+        if (self.mesh is not None
+                and self.cfg.get("parallel", {}).get("zero1", False)):
+            from pcaccumulation_tpu.parallel.mesh import shard_opt_state
+
+            self.opt_state, self._opt_specs = shard_opt_state(
+                self.opt_state, self.mesh
+            )
         n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(self.params))
         self.logger.write(f"#parameters {n_params / 1e6} M\n")
         self._dump_architecture(n_params)
@@ -156,6 +169,14 @@ class Trainer:
     def current_lr(self) -> float:
         """LR the next optimizer update will apply (for logging)."""
         return float(self.lr_schedule(self.opt_state.gradient_step))
+
+    def _mesh_ctx(self):
+        """Mesh context for tracing/executing the jitted steps: the
+        frame-axis sharding constraints in MotionNet use bare
+        PartitionSpecs, which resolve against the ambient mesh."""
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     # ------------------------------------------------------------------ steps
     def _build_steps(self):
@@ -199,6 +220,18 @@ class Trainer:
             )(params, batch_stats, batch, rng, True)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if self._opt_specs is not None:
+                # keep the ZeRO-1 layout stable across steps (and pin the
+                # updated params replicated so the all-gather happens here,
+                # not lazily at the next step's forward)
+                from jax.sharding import PartitionSpec as P
+
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._opt_specs
+                )
+                params = jax.lax.with_sharding_constraint(
+                    params, jax.tree.map(lambda _: P(), params)
+                )
             return params, new_bs, opt_state, stats
 
         def val_step(params, batch_stats, batch, rng):
@@ -267,14 +300,18 @@ class Trainer:
                 # assemble the global array from this host's local shard
                 jbatch = global_batch_from_host_local(jbatch, self.mesh)
             rng = jax.random.fold_in(base_rng, it)
-            if phase == "train":
-                self.params, self.batch_stats, self.opt_state, stats = (
-                    self._train_step(
-                        self.params, self.batch_stats, self.opt_state, jbatch, rng
+            with self._mesh_ctx():
+                if phase == "train":
+                    self.params, self.batch_stats, self.opt_state, stats = (
+                        self._train_step(
+                            self.params, self.batch_stats, self.opt_state,
+                            jbatch, rng,
+                        )
                     )
-                )
-            else:
-                stats = self._val_step(self.params, self.batch_stats, jbatch, rng)
+                else:
+                    stats = self._val_step(
+                        self.params, self.batch_stats, jbatch, rng
+                    )
             flat = self._flatten_stats_device(stats)
             # fetch the PREVIOUS step's stats: dispatch is async, so this
             # host transfer overlaps the current step's device compute

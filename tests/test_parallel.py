@@ -25,10 +25,13 @@ def test_dryrun_multichip():
 )
 def test_production_depth_multichip_train_step():
     """The PRODUCTION op-graph — UNet depth 5, pillar depth 3, sinkhorn 3,
-    full cluster BFS — compiled and executed on the 8-device mesh. The
-    regular dryrun/equivalence tests shrink the graph (tiny_graph=True)
-    for compile time; this one-off proves the full-depth train step
-    compiles + runs multi-device (VERDICT r2, Missing #2)."""
+    full cluster BFS — compiled and executed on the FULL HYBRID
+    (2 data x 2 frame x 2 spatial) 8-device mesh. The regular
+    dryrun/equivalence tests shrink the graph (tiny_graph=True) for
+    compile time; this one-off proves the full-depth train step with
+    frame + spatial sharding compiles + runs multi-device (VERDICT r2
+    Missing #2; 1-D data-mesh artifact recorded docs/ROUND9.md, 3-axis
+    artifact docs/ROUND10.md)."""
     import sys
     import time
 
@@ -42,14 +45,17 @@ def test_production_depth_multichip_train_step():
     from pcaccumulation_tpu.train.loss import fuse_loss
 
     cfg = ge._cfg(tiny_graph=False)  # production depths; driver-entry shapes
-    batch = ge._batch(cfg, batch_size=8)
+    cfg["parallel"]["frame_devices"] = 2
+    cfg["parallel"]["spatial_devices"] = 2
+    batch = ge._batch(cfg, batch_size=2)
     model = MotionNet(cfg)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(8, frame_devices=2, spatial_devices=2)
     jbatch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
     init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
-    variables = init_fn(
-        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch)
+    with mesh:  # bare-P sharding constraints resolve against the ambient mesh
+        variables = init_fn(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch)
     params = replicate(variables["params"], mesh)
     batch_stats = replicate(variables.get("batch_stats", {}), mesh)
     tx = optax.adam(1e-4)
@@ -212,6 +218,441 @@ def test_data_parallel_equals_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2 * k_steps * lr, rtol=2e-3,
             err_msg=str(path))
+
+
+def test_frame_parallel_equals_single_device():
+    """Frame-axis sequence parallelism (SURVEY §2.4: the per-frame UNet is
+    embarrassingly parallel across T until the STPN temporal fusion): the
+    same global batch trained on a (2 data x 4 frame) mesh — backbone
+    sharded over the temporal frames via the MotionNet sharding
+    constraints — must match the single-device run to f32 reduction-order
+    accuracy, with the same norm-level gradient criteria as the DP test."""
+    import copy
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    import optax
+    import __graft_entry__ as ge
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from pcaccumulation_tpu.train.loss import fuse_loss
+
+    # T=4 divides the 4-way frame axis exactly (GSPMD also pads uneven T,
+    # e.g. the production T=11/T=5 — divisible here keeps the math clean)
+    base_cfg = ge._cfg(grid_half=8.0, n_sweeps=4, max_points=2048,
+                       max_pillars=1024, n_kpts=64, tiny_graph=True)
+    batch = ge._batch(base_cfg, batch_size=2)
+
+    def run(n_devices, frame_devices, k=2):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["parallel"]["frame_devices"] = frame_devices
+        model = MotionNet(cfg)
+        mesh = make_mesh(n_devices, frame_devices=frame_devices)
+        with mesh:
+            jbatch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            init_fn = jax.jit(
+                lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            params = replicate(variables["params"], mesh)
+            batch_stats = replicate(variables.get("batch_stats", {}), mesh)
+            tx = optax.adam(1e-3)
+            opt_state = replicate(tx.init(params), mesh)
+
+            def train_step(params, batch_stats, opt_state, b, step_i):
+                def loss_fn(p):
+                    results, mutated = model.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        b, train=True, mode="train",
+                        rngs={"sample": jax.random.fold_in(
+                            jax.random.key(3), step_i)},
+                        mutable=["batch_stats"],
+                    )
+                    stats = fuse_loss(results, b, cfg["loss"],
+                                      cfg["capacity"]["max_instances"])
+                    return stats["loss"], mutated["batch_stats"]
+
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_bs,
+                        opt_state, loss, grads)
+
+            step = jax.jit(train_step, static_argnums=(4,))
+            losses, grads0 = [], None
+            for i in range(k):
+                params, batch_stats, opt_state, loss, grads = step(
+                    params, batch_stats, opt_state, jbatch, i)
+                if i == 0:
+                    grads0 = jax.device_get(grads)
+                losses.append(float(loss))
+        return jax.device_get(params), losses, grads0
+
+    p1, l1, g1 = run(1, 1)
+    p8, l8, g8 = run(8, 4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-3)
+    # same norm-level gradient criteria (and rationale) as
+    # test_data_parallel_equals_single_device, except the noise floor is
+    # RELATIVE to the global gradient norm: frame sharding reorders the
+    # per-frame reductions, and a leaf whose gradient nearly cancels
+    # (ego_feats_head conv biases behind the L2-normalize: measured
+    # 1.5e-3 vs a 260 global norm) is catastrophic-cancellation residue
+    # with no stable direction — a bare 1e-3 floor sat just under it.
+    g1_flat = [np.asarray(x, np.float64).ravel()
+               for x in jax.tree_util.tree_leaves(g1)]
+    global_norm = np.sqrt(sum(float(x @ x) for x in g1_flat))
+    noise_floor = max(1e-3, 1e-5 * global_norm)
+    n_checked = n_noise = 0
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g8)[0]):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        scale = max(na, nb)
+        if scale < noise_floor:
+            n_noise += 1
+            continue
+        rel = np.linalg.norm(a - b) / scale
+        cos = float(a @ b / (na * nb))
+        assert rel < 0.05, (str(path), rel, scale)
+        assert cos > 0.995, (str(path), cos)
+        n_checked += 1
+    assert n_checked > 3 * n_noise, (n_checked, n_noise)
+    k_steps, lr = 2, 1e-3
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    flat8 = jax.tree_util.tree_flatten_with_path(p8)[0]
+    assert len(flat1) == len(flat8)
+    for (path, a), (_, b) in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2 * k_steps * lr, rtol=2e-3,
+            err_msg=str(path))
+
+
+def test_hybrid_3axis_parallel_equals_single_device():
+    """Full hybrid (2 data x 2 frame x 2 spatial) 3-D mesh: batches over
+    `data`, the per-frame backbone over the temporal frames AND over the
+    BEV rows (spatial partitioning — GSPMD inserts the conv halo
+    exchanges and the BN-statistics all-reduces at the band boundaries).
+    The same global batch trained on the 8-device 3-axis mesh must match
+    the single-device run with the same criteria as the frame-SP test."""
+    import copy
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    import optax
+    import __graft_entry__ as ge
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from pcaccumulation_tpu.train.loss import fuse_loss
+
+    base_cfg = ge._cfg(grid_half=8.0, n_sweeps=4, max_points=2048,
+                       max_pillars=1024, n_kpts=64, tiny_graph=True)
+    batch = ge._batch(base_cfg, batch_size=2)
+
+    def run(n_devices, frame_devices, spatial_devices, k=2):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["parallel"]["frame_devices"] = frame_devices
+        cfg["parallel"]["spatial_devices"] = spatial_devices
+        model = MotionNet(cfg)
+        mesh = make_mesh(n_devices, frame_devices=frame_devices,
+                         spatial_devices=spatial_devices)
+        with mesh:
+            jbatch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            init_fn = jax.jit(
+                lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            params = replicate(variables["params"], mesh)
+            batch_stats = replicate(variables.get("batch_stats", {}), mesh)
+            tx = optax.adam(1e-3)
+            opt_state = replicate(tx.init(params), mesh)
+
+            def train_step(params, batch_stats, opt_state, b, step_i):
+                def loss_fn(p):
+                    results, mutated = model.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        b, train=True, mode="train",
+                        rngs={"sample": jax.random.fold_in(
+                            jax.random.key(3), step_i)},
+                        mutable=["batch_stats"],
+                    )
+                    stats = fuse_loss(results, b, cfg["loss"],
+                                      cfg["capacity"]["max_instances"])
+                    return stats["loss"], mutated["batch_stats"]
+
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_bs,
+                        opt_state, loss, grads)
+
+            step = jax.jit(train_step, static_argnums=(4,))
+            losses, grads0 = [], None
+            for i in range(k):
+                params, batch_stats, opt_state, loss, grads = step(
+                    params, batch_stats, opt_state, jbatch, i)
+                if i == 0:
+                    grads0 = jax.device_get(grads)
+                losses.append(float(loss))
+        return jax.device_get(params), losses, grads0
+
+    p1, l1, g1 = run(1, 1, 1)
+    p8, l8, g8 = run(8, 2, 2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-3)
+    # gradient criteria identical to test_frame_parallel_equals_single_device
+    # (norm-relative noise floor — band/frame sharding reorders reductions)
+    g1_flat = [np.asarray(x, np.float64).ravel()
+               for x in jax.tree_util.tree_leaves(g1)]
+    global_norm = np.sqrt(sum(float(x @ x) for x in g1_flat))
+    noise_floor = max(1e-3, 1e-5 * global_norm)
+    n_checked = n_noise = 0
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g8)[0]):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        scale = max(na, nb)
+        if scale < noise_floor:
+            n_noise += 1
+            continue
+        rel = np.linalg.norm(a - b) / scale
+        cos = float(a @ b / (na * nb))
+        assert rel < 0.05, (str(path), rel, scale)
+        assert cos > 0.995, (str(path), cos)
+        n_checked += 1
+    assert n_checked > 3 * n_noise, (n_checked, n_noise)
+    k_steps, lr = 2, 1e-3
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    flat8 = jax.tree_util.tree_flatten_with_path(p8)[0]
+    assert len(flat1) == len(flat8)
+    for (path, a), (_, b) in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2 * k_steps * lr, rtol=2e-3,
+            err_msg=str(path))
+
+
+def test_spatial_sharding_inserts_collectives():
+    """Structural evidence that the spatial axis is genuinely used: on a
+    (1 data x 4 spatial) mesh with B=1 and frame sharding OFF, the val
+    forward's compiled HLO must contain collectives with
+    spatial_devices=4 (conv halo exchanges / band all-gathers — dp=1 and
+    no frame axis rule out every other source) and NONE with
+    spatial_devices=1 on the same mesh."""
+    import copy
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    base_cfg = ge._cfg(grid_half=8.0, n_sweeps=4, max_points=2048,
+                       max_pillars=1024, n_kpts=64, tiny_graph=True)
+    batch = ge._batch(base_cfg, batch_size=1)
+    collective_ops = ("all-gather", "all-reduce", "all-to-all",
+                      "collective-permute")
+
+    def compiled_text(spatial_devices):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["parallel"]["spatial_devices"] = spatial_devices
+        model = MotionNet(cfg)
+        mesh = make_mesh(4, spatial_devices=4)  # mesh shape (1, 4) either way
+        with mesh:
+            jbatch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            init_fn = jax.jit(
+                lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            variables = replicate(variables, mesh)
+
+            def fwd(v, b):
+                return model.apply(v, b, train=False, mode="val",
+                                   rngs={"sample": jax.random.key(2)})
+
+            txt = jax.jit(fwd).lower(variables, jbatch).compile().as_text()
+        return txt
+
+    with_sp = compiled_text(4)
+    without_sp = compiled_text(1)
+    assert any(op in with_sp for op in collective_ops), \
+        "spatially-sharded forward compiled to zero collectives"
+    assert not any(op in without_sp for op in collective_ops), \
+        "unsharded forward unexpectedly contains collectives"
+
+
+def test_frame_sharding_inserts_collectives():
+    """Structural evidence that the frame axis is genuinely used: on a
+    (1 data x 4 frame) mesh with B=1, the val forward's compiled HLO must
+    contain collectives with frame_devices=4 (the fold's frame all-gather
+    — DP cannot explain them at dp=1, and val mode has no gradient psums)
+    and NONE with frame_devices=1 on the same mesh."""
+    import copy
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    base_cfg = ge._cfg(grid_half=8.0, n_sweeps=4, max_points=2048,
+                       max_pillars=1024, n_kpts=64, tiny_graph=True)
+    batch = ge._batch(base_cfg, batch_size=1)
+    collective_ops = ("all-gather", "all-reduce", "all-to-all",
+                      "collective-permute")
+
+    def compiled_text(frame_devices):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["parallel"]["frame_devices"] = frame_devices
+        model = MotionNet(cfg)
+        mesh = make_mesh(4, frame_devices=4)  # mesh shape (1, 4) either way
+        with mesh:
+            jbatch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            init_fn = jax.jit(
+                lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            variables = replicate(variables, mesh)
+
+            def fwd(v, b):
+                return model.apply(v, b, train=False, mode="val",
+                                   rngs={"sample": jax.random.key(2)})
+
+            txt = jax.jit(fwd).lower(variables, jbatch).compile().as_text()
+        return txt
+
+    with_sp = compiled_text(4)
+    without_sp = compiled_text(1)
+    assert any(op in with_sp for op in collective_ops), \
+        "frame-sharded forward compiled to zero collectives"
+    assert not any(op in without_sp for op in collective_ops), \
+        "unsharded forward unexpectedly contains collectives"
+
+
+def test_zero1_optimizer_sharding(tmp_path):
+    """ZeRO-1 (parallel.zero1): adam moments + MultiSteps accumulators
+    sharded over the data axis. Three claims: (1) the state is GENUINELY
+    sharded (addressable shards smaller than the global leaf), (2) one
+    trained epoch matches the unsharded run's parameters to
+    reduction-order accuracy (optimizer-state placement must not change
+    the math), (3) checkpointing the sharded state roundtrips."""
+    import copy
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_cfg, tiny_batch
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh
+    from pcaccumulation_tpu.train.trainer import Trainer
+
+    base_cfg = tiny_cfg()
+    base_cfg["train"]["iter_size"] = 2  # exercise the grad accumulators too
+    batches = [tiny_batch(base_cfg, batch_size=4, seed=s) for s in (0, 1)]
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    def run(zero1):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["parallel"] = {"num_devices": 4, "zero1": zero1}
+        mesh = make_mesh(4)
+        trainer = Trainer(
+            cfg, MotionNet(cfg), {"train": FakeLoader(), "val": FakeLoader()},
+            save_dir=str(tmp_path / f"zero1_{zero1}"), mesh=mesh,
+        )
+        trainer.inference_one_epoch(1, "train")
+        return trainer
+
+    tr_z = run(True)
+    # (1) genuinely sharded: some leaf must have per-device shards 4x
+    # smaller than its global shape
+    n_sharded = 0
+    for leaf in jax.tree.leaves(tr_z.opt_state):
+        if hasattr(leaf, "addressable_shards") and leaf.ndim >= 1:
+            shard = leaf.addressable_shards[0].data
+            if np.prod(shard.shape) * 4 == np.prod(leaf.shape):
+                n_sharded += 1
+    assert n_sharded > 10, n_sharded
+
+    # (3) checkpoint roundtrip of the sharded state
+    tr_z.snapshot(1, "latest")
+    import pcaccumulation_tpu.utils.checkpoint as ckpt
+
+    state = ckpt.load_checkpoint(
+        str(tmp_path / "zero1_True" / "model_latest.ckpt"))
+    assert state["epoch"] == 1
+
+    # (2) placement does not change the math: params equal the unsharded
+    # run's to reduction-order noise (same criteria family as the DP test;
+    # 1 epoch = 2 micro-batches = 1 adam update of ~lr magnitude)
+    tr_p = run(False)
+    lr = base_cfg["optimizer"]["learning_rate"]
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_z.params)[0],
+            jax.tree_util.tree_flatten_with_path(tr_p.params)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2 * lr, rtol=2e-3,
+            err_msg=str(path))
+
+
+def test_trainer_on_hybrid_mesh_epoch(tmp_path):
+    """Full Trainer epochs on the hybrid (2 data x 2 frame) mesh with
+    ZeRO-1 on — pins the trainer-side wiring end to end: init and the
+    jitted steps trace under the mesh context (MotionNet's bare
+    PartitionSpec frame constraints resolve against it), the optimizer
+    state is sharded at init, and training still converges."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_cfg, tiny_batch
+
+    from pcaccumulation_tpu.models import MotionNet
+    from pcaccumulation_tpu.parallel.mesh import make_mesh
+    from pcaccumulation_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg()
+    cfg["train"]["iter_size"] = 1
+    cfg["parallel"] = {"num_devices": 4, "frame_devices": 2, "zero1": True}
+    batches = [tiny_batch(cfg, batch_size=4, seed=s) for s in (0, 1)]
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    mesh = make_mesh(4, frame_devices=2)
+    trainer = Trainer(
+        cfg, MotionNet(cfg), {"train": FakeLoader(), "val": FakeLoader()},
+        save_dir=str(tmp_path), mesh=mesh,
+    )
+    m1 = trainer.inference_one_epoch(1, "train")
+    m2 = trainer.inference_one_epoch(2, "train")
+    assert np.isfinite(m2["loss"].avg)
+    assert m2["loss"].avg < m1["loss"].avg
 
 
 def test_trainer_on_mesh_epoch(tmp_path):
