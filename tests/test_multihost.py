@@ -30,6 +30,7 @@ import numpy as np
 _WORKER = r"""
 import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]
+hybrid = len(sys.argv) > 3 and sys.argv[3] == "hybrid"
 
 import jax
 jax.config.update("jax_platforms", "cpu")   # the axon TPU plugin ignores env
@@ -38,15 +39,20 @@ jax.config.update("jax_num_cpu_devices", 2)
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
 from pcaccumulation_tpu.parallel.mesh import (
+    DATA_AXIS, FRAME_AXIS,
     global_batch_from_host_local, initialize_multihost, make_mesh, replicate)
 
 initialize_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.local_devices()) == 2 and len(jax.devices()) == 4
 
-mesh = make_mesh()  # all 4 global devices
+# hybrid: the (2 data x 2 frame) mesh SPANS the two processes — the frame
+# axis crosses the DCN boundary, so the activation constraint below forces
+# cross-process collectives beyond the gradient psum
+mesh = make_mesh(frame_devices=2) if hybrid else make_mesh()
 # each process holds only ITS slice of the global batch (per-host sharded
 # file lists — data/loader.py make_loader(process_id=...))
 rng = np.random.default_rng(100 + pid)
@@ -64,6 +70,13 @@ opt_state = replicate(tx.init(params), mesh)
 def train_step(params, opt_state, batch):
     def loss_fn(p):
         pred = batch["x"] @ p["w"] + p["b"]
+        if hybrid:
+            # shard the activation over BOTH mesh axes (the MotionNet
+            # frame-SP pattern: [rows, frames, c] constrained to
+            # (data, frame)) before the loss reduces it back
+            pred = jax.lax.with_sharding_constraint(
+                pred.reshape(pred.shape[0], 2, 2), P(DATA_AXIS, FRAME_AXIS)
+            ).reshape(pred.shape)
         return jnp.mean((pred - batch["y"]) ** 2)
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = tx.update(grads, opt_state, params)
@@ -87,7 +100,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dcn_train_step(tmp_path):
+def _run_two_process(tmp_path, mode=""):
     port = _free_port()
     env = dict(os.environ)
     # scrub the conftest's single-process 8-device forcing; the worker
@@ -102,7 +115,7 @@ def test_two_process_dcn_train_step(tmp_path):
     script.write_text(_WORKER)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), str(port)],
+            [sys.executable, str(script), str(i), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             env=env, text=True, cwd="/root/repo",
         )
@@ -130,3 +143,17 @@ def test_two_process_dcn_train_step(tmp_path):
     # gradient, so losses and updated params agree exactly
     np.testing.assert_array_equal(
         np.asarray(results[0]), np.asarray(results[1]))
+    return results
+
+
+def test_two_process_dcn_train_step(tmp_path):
+    _run_two_process(tmp_path)
+
+
+def test_two_process_dcn_hybrid_mesh(tmp_path):
+    """The (2 data x 2 frame) hybrid mesh SPANNING the two processes: the
+    frame axis crosses the DCN boundary, so the worker's activation
+    sharding constraint (the MotionNet frame-SP pattern) makes GSPMD
+    route model-axis collectives — not just the gradient psum — across
+    processes. Same bit-exact cross-rank agreement criteria."""
+    _run_two_process(tmp_path, mode="hybrid")
