@@ -61,6 +61,46 @@ def build_loaders(cfg):
     return loaders
 
 
+def resolve_mesh_geometry(cfg, batch_size) -> int:
+    """Validate/derive the (data x frame x spatial) mesh geometry.
+
+    Returns the resolved mesh total (= parallel.num_devices; 0 = all local
+    devices; when only the model-axis factors are set, the total is
+    inferred as frame_devices x spatial_devices). Every sharded batch's
+    leading axis must divide by the mesh's DATA factor — the val loader is
+    aligned with the train batch when it doesn't. Raises SystemExit with
+    an actionable message on an impossible geometry."""
+    n_dev = cfg.get("parallel", {}).get("num_devices", 1)
+    n_frame = cfg.get("parallel", {}).get("frame_devices", 1)
+    n_spatial = cfg.get("parallel", {}).get("spatial_devices", 1)
+    model_factor = n_frame * n_spatial
+    mesh_size = n_dev
+    if n_dev != 1 or model_factor > 1:
+        import jax
+
+        if n_dev == 1 and model_factor > 1:
+            # only the model-axis factors were set: infer the mesh total
+            # (a pure model-parallel (1 data x frame x spatial) mesh)
+            mesh_size = model_factor
+        else:
+            mesh_size = len(jax.devices()) if n_dev == 0 else n_dev
+        if mesh_size % model_factor:
+            raise SystemExit(
+                f"parallel.num_devices (={mesh_size}; 0 = all local devices) "
+                f"must be a multiple of frame_devices {n_frame} x "
+                f"spatial_devices {n_spatial} = {model_factor}"
+            )
+        data_size = mesh_size // model_factor
+        if batch_size % data_size:
+            raise SystemExit(
+                f"batch_size {batch_size} not divisible by the "
+                f"{data_size}-way data axis of the mesh"
+            )
+        if cfg["val"]["batch_size"] % data_size:
+            cfg["val"]["batch_size"] = batch_size
+    return mesh_size
+
+
 def snapshot_source(save_dir):
     """Copy the framework source into the run dir for reproducibility
     (reference main.py:43-47 copies libs/ + models/)."""
@@ -88,30 +128,7 @@ def main(argv):
     setup_seed(cfg["misc"]["seed"])
     enable_compile_cache()
 
-    # mesh geometry: every sharded batch's leading axis must divide by the
-    # DATA factor of the (data x frame x spatial) mesh — align the val
-    # loader with the train batch
-    n_dev = cfg.get("parallel", {}).get("num_devices", 1)
-    n_frame = cfg.get("parallel", {}).get("frame_devices", 1)
-    n_spatial = cfg.get("parallel", {}).get("spatial_devices", 1)
-    model_factor = n_frame * n_spatial
-    if n_dev != 1 or model_factor > 1:
-        import jax
-
-        mesh_size = len(jax.devices()) if n_dev == 0 else n_dev
-        if mesh_size % model_factor:
-            raise SystemExit(
-                f"num_devices {mesh_size} not divisible by frame_devices "
-                f"{n_frame} x spatial_devices {n_spatial}"
-            )
-        data_size = mesh_size // model_factor
-        if batch_size % data_size:
-            raise SystemExit(
-                f"batch_size {batch_size} not divisible by the "
-                f"{data_size}-way data axis of the mesh"
-            )
-        if cfg["val"]["batch_size"] % data_size:
-            cfg["val"]["batch_size"] = batch_size
+    mesh_size = resolve_mesh_geometry(cfg, batch_size)
 
     save_dir = os.path.join("snapshot", cfg["misc"]["exp_name"])
     os.makedirs(save_dir, exist_ok=True)
@@ -130,7 +147,7 @@ def main(argv):
     if n_dev != 1 or model_factor > 1:
         from pcaccumulation_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(None if n_dev == 0 else n_dev,
+        mesh = make_mesh(None if n_dev == 0 else mesh_size,
                          frame_devices=n_frame, spatial_devices=n_spatial)
 
     mode = cfg["misc"]["mode"]

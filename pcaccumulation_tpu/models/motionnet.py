@@ -221,25 +221,37 @@ class MotionNet(nn.Module):
             packed.astype(jnp.float32), pillar_coords, pillar_valid, t,
             self.grid_hw,
         )  # [B, T, H, W, C+2]
+        # the constraints only trace when a mesh with the named axes is
+        # ambient: inference entry points (Tester, serve) build the model
+        # from a training run's saved config — parallel factors included —
+        # without entering a mesh, and a bare-P constraint with no mesh
+        # raises at trace time on jax 0.9
+        shard_frames = shard_spatial = False
         if self.shard_frames or self.shard_spatial:
-            from jax.sharding import PartitionSpec as P
-
             from pcaccumulation_tpu.parallel.mesh import (
                 DATA_AXIS,
                 FRAME_AXIS,
                 SPATIAL_AXIS,
+                ambient_mesh_axes,
             )
 
+            axes = ambient_mesh_axes()
+            if DATA_AXIS in axes:
+                shard_frames = self.shard_frames and FRAME_AXIS in axes
+                shard_spatial = self.shard_spatial and SPATIAL_AXIS in axes
+        if shard_frames or shard_spatial:
+            from jax.sharding import PartitionSpec as P
+
             # [B*T] rows over data (and frame); H bands over spatial
-            bt_spec = (DATA_AXIS, FRAME_AXIS) if self.shard_frames else DATA_AXIS
-            sp_spec = SPATIAL_AXIS if self.shard_spatial else None
+            bt_spec = (DATA_AXIS, FRAME_AXIS) if shard_frames else DATA_AXIS
+            sp_spec = SPATIAL_AXIS if shard_spatial else None
 
             def wsc_bt(x):  # [B*T, H, W, C] backbone activations
                 return jax.lax.with_sharding_constraint(x, P(bt_spec, sp_spec))
 
             canvas = jax.lax.with_sharding_constraint(
                 canvas,
-                P(DATA_AXIS, FRAME_AXIS if self.shard_frames else None, sp_spec),
+                P(DATA_AXIS, FRAME_AXIS if shard_frames else None, sp_spec),
             )
         else:
             def wsc_bt(x):
@@ -280,7 +292,7 @@ class MotionNet(nn.Module):
                 .transpose(0, 2, 3, 1, 4)
                 .reshape(b, h, w, t * cf)
             )
-        if self.shard_frames or self.shard_spatial:
+        if shard_frames or shard_spatial:
             # the temporal fusion consumes every frame (and the warp every
             # row): XLA materialises the frame/band all-gather here;
             # downstream stays data-parallel

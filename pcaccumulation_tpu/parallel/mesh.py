@@ -82,6 +82,31 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def ambient_mesh_axes() -> tuple:
+    """Axis names of the active mesh context (`with mesh:`), or () when no
+    mesh is ambient. Gates MotionNet's bare-PartitionSpec sharding
+    constraints: tracing them without a mesh raises on jax 0.9, and
+    inference entry points (Tester, serve) legitimately build the model
+    from a training run's config — with `parallel.frame_devices > 1` saved
+    in it — without entering any mesh (the constraints are a no-op wish in
+    that case, not an error)."""
+    try:  # jax 0.9: `with mesh:` sets the thread-local physical mesh
+        from jax._src import mesh as mesh_lib
+
+        env_mesh = mesh_lib.thread_resources.env.physical_mesh
+        if not env_mesh.empty:
+            return tuple(env_mesh.axis_names)
+    except (ImportError, AttributeError):
+        pass
+    try:  # newer jax: jax.sharding.use_mesh sets the abstract mesh
+        am = jax.sharding.get_abstract_mesh()
+        if not am.empty:
+            return tuple(am.axis_names)
+    except (ImportError, AttributeError):
+        pass
+    return ()
+
+
 def replicate(tree, mesh: Mesh):
     """Place every leaf fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
@@ -161,8 +186,17 @@ def initialize_multihost(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except (ValueError, RuntimeError):
-            return  # no cluster env detected — single-process run
+        except (ValueError, RuntimeError) as e:
+            # no cluster env detected — single-process run. Say so: a pod
+            # whose auto-detect fails for a FIXABLE reason (bad hostnames,
+            # stale coordinator) must not degrade silently.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed auto-detect failed (%s: %s); "
+                "continuing single-process", type(e).__name__, e,
+            )
+            return
     else:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)

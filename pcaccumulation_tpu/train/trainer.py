@@ -412,6 +412,19 @@ class Trainer:
                 self.opt_state = jax.tree.map(
                     lambda a, b: b, self.opt_state, state["opt_state"]
                 )
+                if self._opt_specs is not None:
+                    # re-establish the ZeRO-1 layout NOW: the restored
+                    # host-numpy leaves would otherwise materialise fully
+                    # replicated per device (the memory ZeRO-1 exists to
+                    # avoid) until the first step's constraint, and force
+                    # a layout-mismatch recompile
+                    from pcaccumulation_tpu.parallel.mesh import (
+                        shard_opt_state,
+                    )
+
+                    self.opt_state, self._opt_specs = shard_opt_state(
+                        self.opt_state, self.mesh
+                    )
             except ValueError:
                 self.logger.write("optimizer state incompatible; reinitialised\n")
         self.start_epoch = state.get("epoch", 0) + 1

@@ -30,7 +30,22 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Fetch every leaf to host numpy.
+
+    Leaves sharded across PROCESSES (ZeRO-1 optimizer state over a data
+    axis that spans hosts) are not fully addressable, so `np.asarray`
+    would raise — gather them to a replicated global value first
+    (process_allgather reshards to P() under the hood), exactly like a
+    single-host save sees the full array."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x))
+        return np.asarray(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def _orbax_dir(path: str) -> str:

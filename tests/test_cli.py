@@ -24,9 +24,26 @@ def _argv(*overrides, batch="1", iters="1"):
 
 def test_cli_rejects_indivisible_mesh():
     """num_devices must factor into frame_devices x spatial_devices."""
-    with pytest.raises(SystemExit, match="not divisible by frame_devices"):
+    with pytest.raises(SystemExit, match="must be a multiple of"):
         cli.main(_argv("--parallel.num_devices=3",
                        "--parallel.frame_devices=2"))
+
+
+def test_mesh_total_inferred_from_model_factors():
+    """With the default num_devices=1 and only the model-axis factors set,
+    the mesh total is inferred as frame x spatial instead of erroring
+    out (ADVICE r3): a user asking for frame_devices=2 gets the
+    (1 data x 2 frame) mesh."""
+    cfg = {"parallel": {"num_devices": 1, "frame_devices": 2},
+           "val": {"batch_size": 1}}
+    assert cli.resolve_mesh_geometry(cfg, batch_size=1) == 2
+    cfg = {"parallel": {"frame_devices": 2, "spatial_devices": 2},
+           "val": {"batch_size": 1}}
+    assert cli.resolve_mesh_geometry(cfg, batch_size=1) == 4
+    # explicit num_devices still validates against the factors
+    cfg = {"parallel": {"num_devices": 4, "frame_devices": 2},
+           "val": {"batch_size": 2}}
+    assert cli.resolve_mesh_geometry(cfg, batch_size=2) == 4
 
 
 def test_cli_rejects_indivisible_batch():

@@ -269,7 +269,12 @@ def nusc_stub(monkeypatch):
         monkeypatch.setitem(sys.modules, name, m)
 
 
-def test_nuscenes_convert_end_to_end(tmp_path, nusc_stub):
+@pytest.mark.parametrize("workers", [1, 2])
+def test_nuscenes_convert_end_to_end(tmp_path, nusc_stub, workers):
+    """workers=2 exercises the scene-parallel Pool path (reference
+    preprocesses with multiprocessing.Pool, toolbox/utils.py:27-31); the
+    fork context inherits the loaded devkit object — and here the
+    injected stub modules — so the identical codepath runs per worker."""
     from tools.preprocess import nuscenes_convert
 
     world = _World(seed=0)
@@ -280,7 +285,8 @@ def test_nuscenes_convert_end_to_end(tmp_path, nusc_stub):
     _NUSC_WORLDS[root] = (scene, tables, velocity)
     try:
         nuscenes_convert.convert(root, out, version="v1.0-mini",
-                                 n_sweeps=N_SWEEPS, freq=FREQ_NUSC)
+                                 n_sweeps=N_SWEEPS, freq=FREQ_NUSC,
+                                 workers=workers)
     finally:
         _NUSC_WORLDS.pop(root)
 
@@ -388,7 +394,12 @@ def _write_waymo_tfrecord(path, world, n_records):
     return g_from_v
 
 
-def test_waymo_convert_end_to_end(tmp_path, waymo_stub):
+@pytest.mark.parametrize("workers", [1, 2])
+def test_waymo_convert_end_to_end(tmp_path, waymo_stub, workers):
+    """workers=2 runs the segment-parallel Pool path over TWO real
+    TFRecord files (reference: Pool over segments,
+    dataset_toolbox/waymo/preprocess.py:61-74); output must be identical
+    to the serial order (imap preserves file order)."""
     from tools.preprocess import waymo_convert
 
     world = _World(seed=1)
@@ -397,14 +408,22 @@ def test_waymo_convert_end_to_end(tmp_path, waymo_stub):
     os.makedirs(rec_dir)
     g_from_v = _write_waymo_tfrecord(
         os.path.join(rec_dir, "seg-000.tfrecord"), world, n_records=4)
+    if workers == 2:  # a second segment = a second genuine unit of work
+        _write_waymo_tfrecord(
+            os.path.join(rec_dir, "seg-001.tfrecord"), world, n_records=4)
 
-    waymo_convert.convert(rec_dir, out, n_sweeps=N_SWEEPS, freq=FREQ_WAYMO)
+    waymo_convert.convert(rec_dir, out, n_sweeps=N_SWEEPS, freq=FREQ_WAYMO,
+                          workers=workers)
 
     with open(os.path.join(out, "all_info.txt")) as f:
         infos = [l.strip() for l in f if l.strip()]
     # 4 records, window 3 -> samples at record indices 2 and 3
-    assert infos == [os.path.join("seg-000", "00002.npz"),
-                     os.path.join("seg-000", "00003.npz")]
+    want = [os.path.join("seg-000", "00002.npz"),
+            os.path.join("seg-000", "00003.npz")]
+    if workers == 2:
+        want += [os.path.join("seg-001", "00002.npz"),
+                 os.path.join("seg-001", "00003.npz")]
+    assert infos == want
 
     # sample 0: window records [0, 1, 2], anchor = record 0 (oldest first)
     with np.load(os.path.join(out, infos[0])) as z:

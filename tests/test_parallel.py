@@ -546,6 +546,38 @@ def test_frame_sharding_inserts_collectives():
         "unsharded forward unexpectedly contains collectives"
 
 
+def test_parallel_config_runs_without_mesh_context():
+    """Inference entry points (Tester, serve) build MotionNet from a
+    training run's saved config — parallel factors included — without
+    entering any mesh context; the sharding constraints must gate on the
+    ambient mesh instead of raising (ADVICE r3: a bare-PartitionSpec
+    with_sharding_constraint with no mesh is a trace-time error)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    from pcaccumulation_tpu.models import MotionNet
+
+    cfg = ge._cfg(grid_half=8.0, n_sweeps=4, max_points=2048,
+                  max_pillars=1024, n_kpts=64, tiny_graph=True)
+    cfg["parallel"]["frame_devices"] = 2
+    cfg["parallel"]["spatial_devices"] = 2
+    batch = ge._batch(cfg, batch_size=1)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+    model = MotionNet(cfg)
+    # NO mesh context anywhere — exactly what Tester/serve do
+    init_fn = jax.jit(
+        lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
+    variables = init_fn(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch)
+    results = jax.jit(lambda v, b: model.apply(
+        v, b, train=False, mode="val", rngs={"sample": jax.random.key(2)}
+    ))(variables, jbatch)
+    assert np.isfinite(float(results["ego_l1_loss"]))
+
+
 def test_zero1_optimizer_sharding(tmp_path):
     """ZeRO-1 (parallel.zero1): adam moments + MultiSteps accumulators
     sharded over the data axis. Three claims: (1) the state is GENUINELY

@@ -81,11 +81,87 @@ def extrapolate_boxes(anns: list[dict], anchor_from_global, n_sweeps: int,
     return boxes, valid, fg
 
 
+def convert_scene(nusc, nusc_root: str, out_dir: str, n_sweeps: int,
+                  freq: float, scene: dict) -> list[str]:
+    """Convert one scene's keyframe chain; returns the emitted rel paths.
+    The per-scene unit of work — also the unit of host parallelism
+    (reference: multiprocessing over scenes, toolbox/utils.py:27-31)."""
+    from nuscenes.utils.data_classes import LidarPointCloud
+
+    scene_dir = os.path.join(out_dir, scene["name"])
+    os.makedirs(scene_dir, exist_ok=True)
+    infos = []
+    token = scene["first_sample_token"]
+    sample_idx = 0
+    while token:
+        sample = nusc.get("sample", token)
+        sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
+
+        # anchor (keyframe) global <- ego <- sensor transforms
+        cal = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        pose0 = nusc.get("ego_pose", sd["ego_pose_token"])
+        g_from_e0 = transform_matrix(pose0["translation"], pose0["rotation"])
+        e_from_s0 = transform_matrix(cal["translation"], cal["rotation"])
+        anchor_from_global = np.linalg.inv(g_from_e0 @ e_from_s0)
+
+        sweeps = []
+        cur = sd
+        for t in range(n_sweeps):
+            if cur is None:
+                break
+            pc = LidarPointCloud.from_file(
+                os.path.join(nusc_root, cur["filename"])
+            )
+            cal_t = nusc.get("calibrated_sensor", cur["calibrated_sensor_token"])
+            pose_t = nusc.get("ego_pose", cur["ego_pose_token"])
+            g_from_s = (
+                transform_matrix(pose_t["translation"], pose_t["rotation"])
+                @ transform_matrix(cal_t["translation"], cal_t["rotation"])
+            )
+            sweeps.append(
+                {"points": pc.points[:3].T, "global_from_sensor": g_from_s}
+            )
+            cur = (
+                nusc.get("sample_data", cur["prev"]) if cur["prev"] else None
+            )
+        if len(sweeps) < n_sweeps:
+            break
+        frame_points, ego_motion = sweep_window_to_anchor(sweeps)
+
+        # tracked boxes across the sweep window (keyframe annotations
+        # propagated by instance token; nuScenes only annotates
+        # keyframes, so box motion uses annotation velocity)
+        boxes, valid, fg = collect_boxes(
+            nusc, sample, anchor_from_global, n_sweeps, freq
+        )
+
+        data = core.build_sample(
+            frame_points, ego_motion, boxes, valid, fg, freq
+        )
+        rel = os.path.join(scene["name"], f"{sample_idx:05d}.npz")
+        np.savez_compressed(os.path.join(out_dir, rel), **data)
+        infos.append(rel)
+        sample_idx += 1
+        token = sample["next"]
+    return infos
+
+
+# fork-inherited state for the worker pool: the loaded devkit object is
+# large and not generally picklable, so workers inherit it via fork
+# instead of receiving it through the task pipe
+_POOL_STATE: dict = {}
+
+
+def _convert_scene_worker(scene):
+    s = _POOL_STATE
+    return convert_scene(s["nusc"], s["nusc_root"], s["out_dir"],
+                         s["n_sweeps"], s["freq"], scene)
+
+
 def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
-            freq: float = 20.0):
+            freq: float = 20.0, workers: int = 1):
     try:
         from nuscenes.nuscenes import NuScenes
-        from nuscenes.utils.data_classes import LidarPointCloud
     except ImportError as e:  # pragma: no cover
         raise SystemExit(
             "nuscenes-devkit is required: pip install nuscenes-devkit "
@@ -96,61 +172,26 @@ def convert(nusc_root: str, out_dir: str, version: str, n_sweeps: int,
     os.makedirs(out_dir, exist_ok=True)
     infos = []
 
-    for scene in nusc.scene:
-        scene_dir = os.path.join(out_dir, scene["name"])
-        os.makedirs(scene_dir, exist_ok=True)
-        token = scene["first_sample_token"]
-        sample_idx = 0
-        while token:
-            sample = nusc.get("sample", token)
-            sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
+    scenes = list(nusc.scene)
+    if workers > 1:
+        # scene-level host parallelism, like the reference's
+        # multiprocessing.Pool preprocessing (toolbox/utils.py:27-31)
+        import multiprocessing as mp
 
-            # anchor (keyframe) global <- ego <- sensor transforms
-            cal = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
-            pose0 = nusc.get("ego_pose", sd["ego_pose_token"])
-            g_from_e0 = transform_matrix(pose0["translation"], pose0["rotation"])
-            e_from_s0 = transform_matrix(cal["translation"], cal["rotation"])
-            anchor_from_global = np.linalg.inv(g_from_e0 @ e_from_s0)
-
-            sweeps = []
-            cur = sd
-            for t in range(n_sweeps):
-                if cur is None:
-                    break
-                pc = LidarPointCloud.from_file(
-                    os.path.join(nusc_root, cur["filename"])
-                )
-                cal_t = nusc.get("calibrated_sensor", cur["calibrated_sensor_token"])
-                pose_t = nusc.get("ego_pose", cur["ego_pose_token"])
-                g_from_s = (
-                    transform_matrix(pose_t["translation"], pose_t["rotation"])
-                    @ transform_matrix(cal_t["translation"], cal_t["rotation"])
-                )
-                sweeps.append(
-                    {"points": pc.points[:3].T, "global_from_sensor": g_from_s}
-                )
-                cur = (
-                    nusc.get("sample_data", cur["prev"]) if cur["prev"] else None
-                )
-            if len(sweeps) < n_sweeps:
-                break
-            frame_points, ego_motion = sweep_window_to_anchor(sweeps)
-
-            # tracked boxes across the sweep window (keyframe annotations
-            # propagated by instance token; nuScenes only annotates
-            # keyframes, so box motion uses annotation velocity)
-            boxes, valid, fg = collect_boxes(
-                nusc, sample, anchor_from_global, n_sweeps, freq
+        _POOL_STATE.update(nusc=nusc, nusc_root=nusc_root, out_dir=out_dir,
+                           n_sweeps=n_sweeps, freq=freq)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(workers) as pool:
+                for rels in pool.imap(_convert_scene_worker, scenes):
+                    infos.extend(rels)
+        finally:
+            _POOL_STATE.clear()
+    else:
+        for scene in scenes:
+            infos.extend(
+                convert_scene(nusc, nusc_root, out_dir, n_sweeps, freq, scene)
             )
-
-            data = core.build_sample(
-                frame_points, ego_motion, boxes, valid, fg, freq
-            )
-            rel = os.path.join(scene["name"], f"{sample_idx:05d}.npz")
-            np.savez_compressed(os.path.join(out_dir, rel), **data)
-            infos.append(rel)
-            sample_idx += 1
-            token = sample["next"]
 
     with open(os.path.join(out_dir, "all_info.txt"), "w") as f:
         f.write("\n".join(infos) + "\n")
@@ -180,5 +221,8 @@ if __name__ == "__main__":
     ap.add_argument("out_dir")
     ap.add_argument("--version", default="v1.0-trainval")
     ap.add_argument("--n-sweeps", type=int, default=11)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="scene-parallel worker processes")
     args = ap.parse_args()
-    convert(args.nuscenes_root, args.out_dir, args.version, args.n_sweeps)
+    convert(args.nuscenes_root, args.out_dir, args.version, args.n_sweeps,
+            workers=args.workers)

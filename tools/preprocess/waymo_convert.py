@@ -60,11 +60,78 @@ def assemble_window(window: list[tuple]):
     return frame_points, np.stack(ego_list), boxes, valid, ids
 
 
-def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
+def convert_file(path: str, out_dir: str, n_sweeps: int,
+                 freq: float) -> list[str]:
+    """Convert one TFRecord segment; returns the emitted rel paths.
+    The per-file unit of work — also the unit of host parallelism
+    (reference: multiprocessing over segments,
+    dataset_toolbox/waymo/preprocess.py:61-74)."""
+    import tensorflow as tf
+    from waymo_open_dataset import dataset_pb2
+    from waymo_open_dataset.utils import frame_utils
+
+    scene = os.path.splitext(os.path.basename(path))[0]
+    scene_dir = os.path.join(out_dir, scene)
+    os.makedirs(scene_dir, exist_ok=True)
+    window: deque = deque(maxlen=n_sweeps)
+    infos = []
+
+    for rec_idx, record in enumerate(tf.data.TFRecordDataset(path)):
+        frame = dataset_pb2.Frame()
+        frame.ParseFromString(record.numpy())
+
+        # points in vehicle frame
+        (range_images, camera_projections, _, range_image_top_pose) = (
+            frame_utils.parse_range_image_and_camera_projection(frame)
+        )
+        points, _ = frame_utils.convert_range_image_to_point_cloud(
+            frame, range_images, camera_projections, range_image_top_pose
+        )
+        pts_vehicle = np.concatenate(points)
+
+        pose = np.array(frame.pose.transform).reshape(4, 4)  # global<-veh
+        labels = {
+            l.id: (
+                [l.box.center_x, l.box.center_y, l.box.center_z],
+                [l.box.length, l.box.width, l.box.height],
+                l.box.heading,
+            )
+            for l in frame.laser_labels
+            if l.type != l.TYPE_SIGN  # fb label = label != sign (waymo.py)
+        }
+        window.append((pts_vehicle, pose, labels))
+        if len(window) < n_sweeps:
+            continue
+
+        # anchor = OLDEST frame of the window (frame 0 in the contract)
+        frame_points, ego_motion, boxes, valid, ids = assemble_window(
+            list(window)
+        )
+        data = core.build_sample(
+            frame_points, ego_motion, boxes, valid,
+            foreground=np.ones(len(ids), bool), freq=freq,
+        )
+        rel = os.path.join(scene, f"{rec_idx:05d}.npz")
+        np.savez_compressed(os.path.join(out_dir, rel), **data)
+        infos.append(rel)
+    return infos
+
+
+# fork-inherited per-pool constants (see nuscenes_convert._POOL_STATE)
+_POOL_STATE: dict = {}
+
+
+def _convert_file_worker(path):
+    s = _POOL_STATE
+    return convert_file(path, s["out_dir"], s["n_sweeps"], s["freq"])
+
+
+def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int,
+            freq: float = 10.0, workers: int = 1):
     try:
-        import tensorflow as tf
-        from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils
+        import tensorflow  # noqa: F401
+        from waymo_open_dataset import dataset_pb2  # noqa: F401
+        from waymo_open_dataset.utils import frame_utils  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise SystemExit(
             "waymo-open-dataset-tf and tensorflow are required "
@@ -75,50 +142,22 @@ def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int, freq: float = 10.0):
     os.makedirs(out_dir, exist_ok=True)
     infos = []
 
-    for path in files:
-        scene = os.path.splitext(os.path.basename(path))[0]
-        scene_dir = os.path.join(out_dir, scene)
-        os.makedirs(scene_dir, exist_ok=True)
-        window: deque = deque(maxlen=n_sweeps)
+    if workers > 1:
+        # segment-level host parallelism, like the reference's Pool over
+        # tfrecords (dataset_toolbox/waymo/preprocess.py:61-74)
+        import multiprocessing as mp
 
-        for rec_idx, record in enumerate(tf.data.TFRecordDataset(path)):
-            frame = dataset_pb2.Frame()
-            frame.ParseFromString(record.numpy())
-
-            # points in vehicle frame
-            (range_images, camera_projections, _, range_image_top_pose) = (
-                frame_utils.parse_range_image_and_camera_projection(frame)
-            )
-            points, _ = frame_utils.convert_range_image_to_point_cloud(
-                frame, range_images, camera_projections, range_image_top_pose
-            )
-            pts_vehicle = np.concatenate(points)
-
-            pose = np.array(frame.pose.transform).reshape(4, 4)  # global<-veh
-            labels = {
-                l.id: (
-                    [l.box.center_x, l.box.center_y, l.box.center_z],
-                    [l.box.length, l.box.width, l.box.height],
-                    l.box.heading,
-                )
-                for l in frame.laser_labels
-                if l.type != l.TYPE_SIGN  # fb label = label != sign (waymo.py)
-            }
-            window.append((pts_vehicle, pose, labels))
-            if len(window) < n_sweeps:
-                continue
-
-            # anchor = OLDEST frame of the window (frame 0 in the contract)
-            frame_points, ego_motion, boxes, valid, ids = assemble_window(
-                list(window)
-            )
-            data = core.build_sample(
-                frame_points, ego_motion, boxes, valid,
-                foreground=np.ones(len(ids), bool), freq=freq,
-            )
-            rel = os.path.join(scene, f"{rec_idx:05d}.npz")
-            np.savez_compressed(os.path.join(out_dir, rel), **data)
-            infos.append(rel)
+        _POOL_STATE.update(out_dir=out_dir, n_sweeps=n_sweeps, freq=freq)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(workers) as pool:
+                for rels in pool.imap(_convert_file_worker, files):
+                    infos.extend(rels)
+        finally:
+            _POOL_STATE.clear()
+    else:
+        for path in files:
+            infos.extend(convert_file(path, out_dir, n_sweeps, freq))
 
     with open(os.path.join(out_dir, "all_info.txt"), "w") as f:
         f.write("\n".join(infos) + "\n")
@@ -130,5 +169,8 @@ if __name__ == "__main__":
     ap.add_argument("tfrecord_dir")
     ap.add_argument("out_dir")
     ap.add_argument("--n-sweeps", type=int, default=5)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="segment-parallel worker processes")
     args = ap.parse_args()
-    convert(args.tfrecord_dir, args.out_dir, args.n_sweeps)
+    convert(args.tfrecord_dir, args.out_dir, args.n_sweeps,
+            workers=args.workers)
