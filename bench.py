@@ -160,6 +160,12 @@ def _run():
         "achieved_tflops": round(tflops, 2),
         "mfu_vs_v5e_bf16_peak": round(tflops / v5e_peak_tflops, 4),
         "model_gflops_per_seq": round(flops_per_fwd / 1e9, 1),
+        # self-describing precision: the headline runs the bf16 backbone
+        # (accuracy drift pinned in tests/test_precision.py). An int8 PTQ
+        # path was measured and REJECTED on-chip — production conv shapes
+        # net 0.95x bf16 despite the 1.88x matmul rate (tools/PROFILE_r10.md)
+        "precision": cfg["precision"]["compute_dtype"],
+        "int8_ptq": "rejected: conv shapes 0.95x bf16 (PROFILE_r10)",
         "pallas_kernels_ok": kernels_ok,
     }))
 
