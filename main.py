@@ -144,10 +144,12 @@ def main(argv):
     # over the BEV rows. XLA inserts every collective (gradient psums,
     # frame/band all-gathers, conv halo exchanges) from the annotations.
     mesh = None
-    if n_dev != 1 or model_factor > 1:
+    n_frame = cfg.get("parallel", {}).get("frame_devices", 1)
+    n_spatial = cfg.get("parallel", {}).get("spatial_devices", 1)
+    if mesh_size != 1 or n_frame * n_spatial > 1:
         from pcaccumulation_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(None if n_dev == 0 else mesh_size,
+        mesh = make_mesh(None if mesh_size == 0 else mesh_size,
                          frame_devices=n_frame, spatial_devices=n_spatial)
 
     mode = cfg["misc"]["mode"]

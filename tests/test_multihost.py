@@ -101,12 +101,12 @@ pid = int(sys.argv[1]); port = sys.argv[2]
 import jax
 jax.config.update("jax_platforms", "cpu")   # the axon TPU plugin ignores env
 jax.config.update("jax_num_cpu_devices", 2)
-# persistent compile cache: repeat runs of this worker skip the ~1-2 min
-# per-process XLA compile of the tiny MotionNet train step
-cache = os.path.join("/root/repo", ".cache", "jax")
-os.makedirs(cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compile cache here, deliberately: deserializing a cached
+# CPU executable inside the 2-process distributed backend kills a rank
+# (reproduced 2026-08-20: cold run green, warm run fails its shutdown
+# barrier every time; single-process contexts are unaffected). The tiny
+# graph compiles in ~2 min with both ranks in parallel — reliability
+# over warmth for this one worker.
 
 import jax.numpy as jnp
 import numpy as np
@@ -189,7 +189,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_process(tmp_path, mode="", worker_src=_WORKER, timeout=240):
+def _run_two_process(tmp_path, mode="", worker_src=_WORKER, timeout=600):
     port = _free_port()
     env = dict(os.environ)
     # scrub the conftest's single-process 8-device forcing; the worker
@@ -256,6 +256,6 @@ def test_two_process_dcn_motionnet_train_step(tmp_path):
     collectives (the canvas/backbone shardings and the post-UNet fold
     all-gather) cross the DCN boundary, not just the gradient psum. Both
     ranks must agree on the loss and the updated parameters bit-for-bit.
-    Per-process XLA compile is cached under .cache/jax (~2 min cold,
-    seconds warm)."""
+    The worker compiles COLD by design (~2 min, ranks in parallel) — see
+    the persistent-cache note in _MOTIONNET_WORKER."""
     _run_two_process(tmp_path, worker_src=_MOTIONNET_WORKER, timeout=900)
