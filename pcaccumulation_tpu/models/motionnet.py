@@ -151,6 +151,7 @@ class MotionNet(nn.Module):
         self.motionhead = STPN(
             feat_dim=cfg["stpn"]["feat_dim"], n_frames=vg["n_sweeps"],
             dtype=self.compute_dtype,
+            n_band_layers=cfg["stpn"].get("n_band_layers", 4),
         )
         self.reconstructor = AlignNet(
             n_frames=vg["n_sweeps"],

@@ -66,10 +66,20 @@ class TemporalBandedConv(nn.Module):
 
 
 class STPN(nn.Module):
+    """n_band_layers: how many of the 4 temporal conv layers run BEFORE
+    the temporal max as full 3x3x3 banded convs. 4 = reference parity
+    (stpn.py:13-22: all four 3D convs, then max). k < 4 is an OPT-IN
+    speed/accuracy trade with no reference counterpart: layers k..3 run
+    AFTER the max as plain 3x3 2-D convs on the fused [B, H, W, C] map,
+    cutting each moved layer's FLOPs (T*C)^2 -> C^2 (121x at T=11) at
+    the cost of shallower temporal mixing — different parameters, so no
+    checkpoint parity; convergence evidence in docs/PROFILE_r11."""
+
     feat_dim: int = 32
     n_frames: int = 5
     offset_clamp: float = 20.0
     dtype: object = None
+    n_band_layers: int = 4
 
     @nn.compact
     def __call__(self, x, points, point_mask, pc_range_min: float,
@@ -101,12 +111,20 @@ class STPN(nn.Module):
         # recomputation was measured NEUTRAL (62.66 vs 62.53 ms at B=1,
         # 256.3 vs 256.9 ms at B=4) — the windows cost the same wherever
         # they are built — so the stack stays untransformed.
-        for i in range(4):
+        k = self.n_band_layers
+        assert 1 <= k <= 4, k
+        for i in range(k):
             x = nn.relu(
                 TemporalBandedConv(self.feat_dim, t_, dtype=self.dtype,
                                    name=f"init_conv{i}")(x)
             )
         x = x.reshape(b_, h_, w_, t_, self.feat_dim).max(axis=3)  # [B, H, W, C]
+        for i in range(k, 4):
+            # the moved layers (opt-in, n_band_layers < 4): same count of
+            # 3x3 conv+relu stages, but on the POST-max fused map
+            x = nn.relu(nn.Conv(
+                self.feat_dim, (3, 3), dtype=self.dtype,
+                name=f"post_conv{i}")(x))
 
         # small UNet (stpn.py:24-43: widths max(64, [32,64,128,128,256]))
         n_filters = [32, 64, 128, 128, 256]

@@ -585,3 +585,25 @@ def test_perf_knob_variants_forward_identical(setup):
             np.asarray(legacy[k]), np.asarray(new[k]), atol=1e-5,
             err_msg=k,
         )
+
+
+def test_stpn_band_layers_knob():
+    """stpn.n_band_layers < 4 (OPT-IN speed trade, tools/PROFILE_r11.md):
+    the late temporal layers move AFTER the temporal max as plain 2-D
+    convs — the module builds, runs finitely, and its parameter tree
+    reflects the split; the default 4 keeps the reference-parity tree
+    (all init_conv*, no post_conv*)."""
+    from pcaccumulation_tpu.models.stpn import STPN
+
+    x = jnp.zeros((1, 16, 16, 3 * 8))  # T=3, C=8, folded t-minor
+    pts = jnp.zeros((1, 20, 3))
+    mask = jnp.ones((1, 20), bool)
+    for k, want_post in ((4, 0), (2, 2)):
+        m = STPN(feat_dim=8, n_frames=3, n_band_layers=k)
+        v = m.init({"params": jax.random.key(0)}, x, pts, mask, -4.0)
+        names = set(v["params"])
+        assert sum(1 for n in names if n.startswith("post_conv")) == want_post
+        assert sum(1 for n in names if n.startswith("init_conv")) == k
+        cls, off, fm = m.apply(v, x, pts, mask, -4.0)
+        assert cls.shape == (1, 20, 2) and off.shape == (1, 20, 2)
+        assert np.isfinite(np.asarray(fm)).all()

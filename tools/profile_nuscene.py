@@ -78,6 +78,7 @@ def waymo_cfg():
 def main():
     train = "--train" in sys.argv
     densify, fold, ungrid_src, preset = "auto", "auto", "auto", "nuscene"
+    band = 4
     for a in sys.argv[1:]:
         if a.startswith("--densify="):
             densify = a.split("=", 1)[1]
@@ -87,6 +88,8 @@ def main():
             ungrid_src = a.split("=", 1)[1]
         if a.startswith("--preset="):
             preset = a.split("=", 1)[1]
+        if a.startswith("--band="):
+            band = int(a.split("=", 1)[1])
     bsz = 1
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
@@ -105,6 +108,7 @@ def main():
     cfg.setdefault("perf", {})["densify"] = densify
     cfg["perf"]["fold"] = fold
     cfg["perf"]["ungrid_src"] = ungrid_src
+    cfg["stpn"]["n_band_layers"] = band
     jbatch = jax.tree.map(jnp.asarray, batch)
     model = MotionNet(cfg)
     init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False, mode="val"))
@@ -112,7 +116,7 @@ def main():
         {"params": jax.random.key(0), "sample": jax.random.key(1)}, jbatch
     )
 
-    label = f"densify={densify} fold={fold} ungrid={ungrid_src}"
+    label = f"densify={densify} fold={fold} ungrid={ungrid_src} band={band}"
     if not train:
         def many(v, b, n):
             def body(i, acc):
