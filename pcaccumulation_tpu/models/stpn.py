@@ -73,7 +73,8 @@ class STPN(nn.Module):
     AFTER the max as plain 3x3 2-D convs on the fused [B, H, W, C] map,
     cutting each moved layer's FLOPs (T*C)^2 -> C^2 (121x at T=11) at
     the cost of shallower temporal mixing — different parameters, so no
-    checkpoint parity; convergence evidence in docs/PROFILE_r11."""
+    checkpoint parity; speed + convergence evidence in
+    tools/PROFILE_r11.md (-6.7% val step at T=11; train unchanged)."""
 
     feat_dim: int = 32
     n_frames: int = 5
