@@ -1,6 +1,7 @@
 """Multi-chip data parallelism on the simulated 8-device CPU mesh."""
 
 import os
+import sys
 
 import jax
 import numpy as np
@@ -785,6 +786,36 @@ def test_zero1_optimizer_sharding(tmp_path):
 
 
 def test_zero1_elastic_restore(tmp_path):
+    """Run the elastic-restore proof in its OWN pytest process.
+
+    The inner test (below) builds 4 meshes / 6 trainers; executed inside
+    the full suite's accumulated process state, XLA:CPU segfaulted in it
+    four separate times at the SAME test but in DIFFERENT frames — twice
+    deserializing a cached executable, once serializing one, and once in
+    the plain backend compile with the cache fully disabled — i.e. an
+    upstream XLA bug tied to heavy in-process backend state, not to this
+    repo's code or the compile cache. Standalone, the inner test passed
+    every attempt, so the suite runs it in a fresh process — the same
+    isolation pattern as test_multihost's workers."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PCACC_ELASTIC_INNER"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         "tests/test_parallel.py::test_zero1_elastic_restore_inner"],
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-3000:]
+
+
+@pytest.mark.skipif(
+    os.environ.get("PCACC_ELASTIC_INNER") != "1",
+    reason="inner half of test_zero1_elastic_restore; runs in the "
+           "subprocess that test spawns (see its docstring)",
+)
+def test_zero1_elastic_restore_inner(tmp_path):
     """ZeRO-1 checkpoint geometry is PORTABLE (VERDICT r3 Missing #4) —
     the operational reason to checkpoint sharded state: a checkpoint
     saved from a 4-device ZeRO-1 run must resume onto (a) a 2-device
