@@ -23,6 +23,7 @@ points that survived crop/ground filtering.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 
@@ -39,7 +40,17 @@ from pcaccumulation_tpu.utils.checkpoint import load_checkpoint, partial_load
 _STEP_CACHE: dict = {}
 
 # bump when the artifact schema below changes (keys, blob semantics)
-EXPORT_FORMAT_VERSION = 1
+# v2: transformed_points left off the device outputs (recomputed on host
+#     from points + ego_motion), mos/fb/inst narrowed to uint8/uint16
+EXPORT_FORMAT_VERSION = 2
+
+# batch fields that are IDENTICAL every serving call (the neutral-GT
+# contract `_wrap` builds: zero labels, identity poses). They live on the
+# device once instead of riding the H2D transfer of every predict — at
+# nuScenes capacities that is ~2 MB/call, and serving measured
+# TRANSFER-bound through a network-attached device (tools/PROFILE_r12.md)
+_CONST_KEYS = ("sd_labels", "fb_labels", "inst_labels", "sem_labels",
+               "ego_motion_gt", "inst_motion_gt")
 
 
 def _get_step(model):
@@ -58,13 +69,18 @@ def _get_step(model):
     def step(variables, batch, rng, _model=model):
         r = _model.apply(variables, batch, train=False, mode="test",
                          rngs={"sample": rng})
+        # D2H is the serving bottleneck on network-attached devices
+        # (tools/PROFILE_r12.md): label outputs ship narrow (values are
+        # {0,1} / canonicalised 0..C instance ids), and transformed_points
+        # ships not at all — it is exactly ego_motion_compensation(points,
+        # time_idx, ego_motion_est) (models/motionnet.py:450), which the
+        # host recomputes from outputs it already holds
         return {
             "rec_points": r["rec_est"],
-            "transformed_points": r["transformed_points"],
             "ego_motion": r["ego_motion_est"],
-            "mos": jnp.argmax(r["mos_est"], -1),
-            "fb": r["fb_est_per_points"],
-            "inst_labels": r["inst_labels_est"],
+            "mos": jnp.argmax(r["mos_est"], -1).astype(jnp.uint8),
+            "fb": r["fb_est_per_points"].astype(jnp.uint8),
+            "inst_labels": r["inst_labels_est"].astype(jnp.uint16),
             "offset": r["offset_est"],
         }
 
@@ -111,6 +127,7 @@ class Predictor:
         self.variables = variables
 
         self._step = _get_step(self.model)
+        self._const_dev = None  # first _to_device call captures _CONST_KEYS
 
     def _dummy_scan(self):
         t = self.n_frames
@@ -144,17 +161,41 @@ class Predictor:
     def _invoke(self, jbatch):
         return self._step(self.variables, jbatch, self._rng)
 
-    def _run(self, batch):
-        jbatch = jax.tree.map(jnp.asarray, batch)
-        out = self._invoke(jbatch)
+    def _to_device(self, batch):
+        """Transfer a prepped batch, reusing the device-resident constant
+        neutral-GT leaves (every serving batch carries identical zero
+        labels / identity poses — see _CONST_KEYS)."""
+        if self._const_dev is None:
+            self._const_dev = {k: jnp.asarray(batch[k]) for k in _CONST_KEYS}
+        const = self._const_dev
+        return {k: const[k] if k in const else jnp.asarray(v)
+                for k, v in batch.items()}
+
+    def _postproc(self, batch, out):
+        """Fetch + trim device outputs; rebuild the derived host outputs
+        (flow, transformed_points) and restore the int32 label dtypes of
+        the public API (the device ships them narrow)."""
         valid = np.asarray(batch["point_valid"][0])
         res = {k: np.asarray(v)[0][valid] for k, v in out.items()
                if k not in ("ego_motion",)}
+        for k in ("mos", "fb", "inst_labels"):
+            res[k] = res[k].astype(np.int32)
         res["points"] = np.asarray(batch["points"][0])[valid]
         res["time_idx"] = np.asarray(batch["time_idx"][0])[valid]
         res["flow"] = res["rec_points"] - res["points"]
         res["ego_motion"] = np.asarray(out["ego_motion"])[0]
+        # == se3.ego_motion_compensation(points, time_idx, pose_est) on
+        # the valid subset (models/motionnet.py:450), recomputed here to
+        # keep [N, 3] floats off the D2H transfer
+        rows = res["ego_motion"][res["time_idx"]]  # [n, 4, 4] gathered
+        res["transformed_points"] = (
+            np.einsum("nij,nj->ni", rows[:, :3, :3], res["points"])
+            + rows[:, :3, 3]
+        ).astype(np.float32)
         return res
+
+    def _run(self, batch):
+        return self._postproc(batch, self._invoke(self._to_device(batch)))
 
     def predict(self, points: np.ndarray, time_idx: np.ndarray) -> dict:
         """One T-frame sequence: points [m, 3] (per-frame sensor coords),
@@ -216,17 +257,24 @@ class Predictor:
             key_impl=np.array(str(jax.random.key_impl(self._rng))),
         )
 
-    def predict_stream(self, scans, prefetch: int = 2):
-        """Iterate over (points, time_idx) pairs, overlapping host-side
-        preprocessing with device compute (the tester's one-sample-delay
-        pipelining, train/tester.py)."""
+    def predict_stream(self, scans, prefetch: int = 2, depth: int = 1):
+        """Iterate over (points, time_idx) pairs with a three-stage
+        pipeline: a producer thread preprocesses AND starts the H2D
+        transfer of the next scans while the device computes, and the
+        blocking D2H fetch of each result is delayed `depth` items so it
+        overlaps the next dispatch (jax dispatch is asynchronous). The
+        serial per-item cost drops from prep + H2D + step + D2H to
+        ~max(prep, step, transfers) — measured 1.9x on a network-attached
+        device, where transfers dominate (tools/PROFILE_r12.md). Results
+        arrive in input order."""
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         err: list = []
 
         def producer():
             try:
                 for pts, tid in scans:
-                    q.put(self._prep(pts, tid))
+                    b = self._prep(pts, tid)
+                    q.put((b, self._to_device(b)))  # async H2D here
             except Exception as e:  # propagate, never deadlock the consumer
                 err.append(e)
             finally:
@@ -234,11 +282,17 @@ class Predictor:
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
+        pending: collections.deque = collections.deque()
         while True:
-            batch = q.get()
-            if batch is None:
+            item = q.get()
+            if item is None:
                 break
-            yield self._run(batch)
+            batch, jbatch = item
+            pending.append((batch, self._invoke(jbatch)))  # async dispatch
+            if len(pending) > depth:
+                yield self._postproc(*pending.popleft())
+        while pending:
+            yield self._postproc(*pending.popleft())
         th.join()
         if err:
             raise err[0]
@@ -287,6 +341,7 @@ class ExportedPredictor(Predictor):
         self._exported_call = jax.jit(exported.call)
         self.variables = None
         self.model = None
+        self._const_dev = None
 
     def export(self, path: str) -> None:
         raise NotImplementedError(
