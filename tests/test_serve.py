@@ -125,6 +125,27 @@ def test_export_roundtrip_matches_live_predictor(tmp_path):
         assert json.loads(str(z["cfg"]))["voxel_generator"]["n_sweeps"] == 3
 
 
+def test_predict_stream_deep_pipeline_order_and_equality():
+    """The 3-stage pipelined stream (producer H2D + async dispatch +
+    delayed fetch) must preserve input order and match sequential
+    predict at any depth/prefetch — 5 scans, depth=2 keeps two results
+    in flight."""
+    pred = Predictor(_tiny_cfg())
+    scans = [_scan(s) for s in range(5)]
+    streamed = list(pred.predict_stream(iter(scans), prefetch=3, depth=2))
+    assert len(streamed) == 5
+    for i, s in enumerate(scans):
+        direct = pred.predict(*s)
+        np.testing.assert_array_equal(streamed[i]["points"], direct["points"])
+        np.testing.assert_allclose(streamed[i]["rec_points"],
+                                   direct["rec_points"], atol=1e-4)
+        np.testing.assert_array_equal(streamed[i]["mos"], direct["mos"])
+        assert streamed[i]["mos"].dtype == np.int32
+        np.testing.assert_allclose(
+            streamed[i]["transformed_points"], direct["transformed_points"],
+            atol=1e-5)
+
+
 def test_predict_stream_propagates_producer_errors():
     pred = Predictor(_tiny_cfg())
 

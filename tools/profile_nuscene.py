@@ -6,7 +6,7 @@ real config shapes with bench.py's chained-loop differencing
 Variants are selected by CLI so A/B runs compile the real graph each sees
 in production.
 
-Run: python tools/profile_nuscene.py [--train] [--preset=nuscene|bench|waymo]
+Run: python tools/profile_nuscene.py [--train|--test] [--preset=nuscene|bench|waymo]
                                      [--densify=scatter|gather]
                                      [--fold=transpose|concat]
                                      [--ungrid=folded|tmajor]
@@ -77,6 +77,9 @@ def waymo_cfg():
 
 def main():
     train = "--train" in sys.argv
+    # test mode = the serving graph: val forward + on-device clustering +
+    # TPointNet/AlignNet instance reconstruction (what serve.Predictor jits)
+    test_mode = "--test" in sys.argv
     densify, fold, ungrid_src, preset = "auto", "auto", "auto", "nuscene"
     band = 4
     for a in sys.argv[1:]:
@@ -118,12 +121,14 @@ def main():
 
     label = f"densify={densify} fold={fold} ungrid={ungrid_src} band={band}"
     if not train:
+        fwd_mode = "test" if test_mode else "val"
+
         def many(v, b, n):
             def body(i, acc):
                 b2 = dict(b)
                 b2["points"] = b["points"] + (i * jnp.float32(1e-12))
                 r = model.apply(
-                    v, b2, train=False, mode="val",
+                    v, b2, train=False, mode=fwd_mode,
                     rngs={"sample": jax.random.fold_in(jax.random.key(0), i)},
                 )
                 return acc + jnp.sum(r["rec_est"])
@@ -171,7 +176,7 @@ def main():
     float(step(*args, jnp.int32(3)))
     print(f"compile+warm: {time.perf_counter() - t0:.1f}s", flush=True)
     per = time_chained(step, args)
-    mode = "train step" if train else "val fwd"
+    mode = "train step" if train else ("test fwd" if test_mode else "val fwd")
     t = cfg["voxel_generator"]["n_sweeps"]
     print(f"{preset} T={t} B={bsz} {mode} [{label}]: "
           f"{per * 1e3:.2f} ms/step ({bsz / per:.1f} seq/s)")
