@@ -60,7 +60,8 @@ def voxel_downsample(points, valid, voxel_size: float, max_out: int):
     return rep_idx, rep_valid, inverse
 
 
-def _neighbour_pass(points, valid, labels_masked, eps2, block: int):
+def _neighbour_pass(points, valid, labels_masked, eps2, block: int,
+                    n_used=None):
     """One tiled sweep over the implicit <=eps adjacency.
 
     Returns (neighbour_count [N] int32, neighbour_label_min [N] int32)
@@ -69,14 +70,28 @@ def _neighbour_pass(points, valid, labels_masked, eps2, block: int):
     (round 1 materialised a ~1 GB d2 at the default 16384-point cap).
     Distances use the exact difference form, keeping co-membership
     bit-identical to the previous dense implementation (and sklearn).
+
+    n_used (traced scalar, optional): 1 + the highest valid index. Row
+    blocks entirely past it are SKIPPED — such rows are invalid, so a
+    full sweep would produce exactly the skipped blocks' initial
+    (0, _BIG) anyway. The clusterer runs at a fixed capacity (8192 reps)
+    but trained models mark only a few hundred–few thousand points
+    moving, and these O(N^2) sweeps are the test-step's hottest item —
+    the dynamic trip count makes them scale with the actual count while
+    staying exact for any count. Rows-only is deliberate: also tiling
+    the COLUMNS dynamically won isolated but regressed the composed
+    saturated test step by +1.6 ms (nested-fori carries defeat XLA's
+    overlap) — measured and rejected, tools/PROFILE_r12.md.
     """
     n = points.shape[0]
     nb = -(-n // block)
     pad = nb * block - n
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     val = jnp.pad(valid, (0, pad))
+    nb_used = nb if n_used is None else (n_used + block - 1) // block
 
-    def f(i):
+    def row_block(i, out):
+        cnts, nmins = out
         r0 = i * block
         rows = jax.lax.dynamic_slice(pts, (r0, 0), (block, 3))
         rvalid = jax.lax.dynamic_slice(val, (r0,), (block,))
@@ -84,10 +99,16 @@ def _neighbour_pass(points, valid, labels_masked, eps2, block: int):
         adj = (d2 <= eps2) & rvalid[:, None] & valid[None, :]
         cnt = jnp.sum(adj, axis=1).astype(jnp.int32)
         nmin = jnp.min(jnp.where(adj, labels_masked[None, :], _BIG), axis=1)
-        return cnt, nmin
+        cnts = jax.lax.dynamic_update_slice(cnts, cnt, (r0,))
+        nmins = jax.lax.dynamic_update_slice(nmins, nmin, (r0,))
+        return cnts, nmins
 
-    cnts, nmins = jax.lax.map(f, jnp.arange(nb))
-    return cnts.reshape(-1)[:n], nmins.reshape(-1)[:n]
+    cnts, nmins = jax.lax.fori_loop(
+        0, nb_used, row_block,
+        (jnp.zeros(nb * block, jnp.int32),
+         jnp.full(nb * block, _BIG, jnp.int32)),
+    )
+    return cnts[:n], nmins[:n]
 
 
 def dbscan_labels(
@@ -103,8 +124,11 @@ def dbscan_labels(
     tiled neighbour pass (no [N, N] adjacency)."""
     n = points.shape[0]
     eps2 = eps * eps
+    # rows/columns past the last valid index never contribute; every
+    # sweep below skips their tiles (exact — see _neighbour_pass)
+    n_used = jnp.max(jnp.where(valid, jnp.arange(n, dtype=jnp.int32) + 1, 0))
     counts, _ = _neighbour_pass(
-        points, valid, jnp.zeros(n, jnp.int32), eps2, block
+        points, valid, jnp.zeros(n, jnp.int32), eps2, block, n_used
     )
     core = (counts >= min_samples) & valid
 
@@ -122,7 +146,8 @@ def dbscan_labels(
         # masking non-core labels to _BIG is equivalent to restricting the
         # adjacency columns to core points
         lab_core = jnp.where(core, labels, _BIG)
-        _, neigh_min = _neighbour_pass(points, valid, lab_core, eps2, block)
+        _, neigh_min = _neighbour_pass(points, valid, lab_core, eps2, block,
+                                       n_used)
         new = jnp.where(core, jnp.minimum(labels, neigh_min), labels)
         # several cheap pointer jumps per expensive neighbour pass
         for _ in range(3):
@@ -142,7 +167,8 @@ def dbscan_labels(
 
     # border points: smallest core-neighbour label
     lab_core = jnp.where(core, labels, _BIG)
-    _, border_min = _neighbour_pass(points, valid, lab_core, eps2, block)
+    _, border_min = _neighbour_pass(points, valid, lab_core, eps2, block,
+                                    n_used)
     labels = jnp.where(core, labels, border_min)
     return jnp.where(valid & (labels < _BIG), labels, -1)
 

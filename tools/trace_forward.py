@@ -4,7 +4,7 @@ Writes /tmp/fwd_hlo.txt (compiled HLO) and prints a per-source-line cost
 table joined from the xplane trace. Uses the persistent compilation cache
 so repeated profiling runs skip the ~5-10 min XLA compile.
 
-Run: python tools/trace_forward.py [batch_size]
+Run: python tools/trace_forward.py [batch_size] [--train|--test] [--nuscene]
 """
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ def nuscene_batch(cfg):
 
 
 def capture(batch_size: int = 1, train: bool = False, preset: str = "bench",
-            perf: dict | None = None):
+            perf: dict | None = None, mode: str = "val"):
     if preset == "nuscene":
         cfg = nuscene_cfg()
         batch = nuscene_batch(cfg)
@@ -91,7 +91,7 @@ def capture(batch_size: int = 1, train: bool = False, preset: str = "bench",
     else:
         fwd = jax.jit(
             lambda v, b: model.apply(
-                v, b, train=False, mode="val", rngs={"sample": jax.random.key(7)}
+                v, b, train=False, mode=mode, rngs={"sample": jax.random.key(7)}
             )["rec_est"]
         )
         args = (variables, jbatch)
@@ -161,5 +161,6 @@ if __name__ == "__main__":
         for key in ("densify", "fold", "ungrid_src"):
             if a.startswith(f"--{key}="):
                 perf[key] = a.split("=", 1)[1]
-    capture(bs, train="--train" in sys.argv, preset=preset, perf=perf)
+    capture(bs, train="--train" in sys.argv, preset=preset, perf=perf,
+            mode="test" if "--test" in sys.argv else "val")
     report(top=40 if "--train" in sys.argv else 32)
