@@ -31,8 +31,15 @@ def prep_sample(
     cfg: dict,
     augment: bool = False,
     rng: np.random.Generator | None = None,
+    with_labels: bool = True,
 ) -> dict:
-    """Full per-sample preprocessing (reference prep_input, dataset.py:147-204)."""
+    """Full per-sample preprocessing (reference prep_input, dataset.py:147-204).
+
+    with_labels=False skips the per-point label channels entirely and
+    emits zeros in their slots — the inference path (serve.Predictor)
+    feeds neutral zero labels anyway, and the label gathers are a
+    measurable share of the single-core host prep (tools/PROFILE_r12.md).
+    Output keys/shapes are identical either way."""
     rng = rng or np.random.default_rng()
     vg = cfg["voxel_generator"]
     cap = cfg["capacity"]
@@ -40,10 +47,12 @@ def prep_sample(
 
     points = np.asarray(data["raw_points"], np.float32)
     time_idx = np.asarray(data["time_indice"]).astype(np.int32)
-    sd = np.asarray(data["sd_labels"]).astype(np.int32)
-    fb = np.asarray(data["fb_labels"]).astype(np.int32)
-    inst = np.asarray(data["inst_labels"]).astype(np.int32)
-    sem = np.asarray(data.get("sem_labels", np.zeros_like(sd))).astype(np.int32)
+    if with_labels:
+        sd = np.asarray(data["sd_labels"]).astype(np.int32)
+        fb = np.asarray(data["fb_labels"]).astype(np.int32)
+        inst = np.asarray(data["inst_labels"]).astype(np.int32)
+        sem = np.asarray(
+            data.get("sem_labels", np.zeros_like(sd))).astype(np.int32)
     ego_gt = np.asarray(data["ego_motion_gt"], np.float32)
     inst_gt = np.asarray(data["bbox_tsfm"], np.float32)
 
@@ -77,8 +86,8 @@ def prep_sample(
         ground_h = cfg["data"]["ground_height"] + cfg["data"]["ground_slack"]
         sel &= points[:, 2] > ground_h
 
-    points, time_idx = points[sel], time_idx[sel]
-    sd, fb, inst, sem = sd[sel], fb[sel], inst[sel], sem[sel]
+    sel_idx = np.flatnonzero(sel)
+    points, time_idx = points[sel_idx], time_idx[sel_idx]
 
     # 4. voxelise at fixed capacity
     pillar_coords, pillar_valid, pillar_of_point, in_range = voxelize(
@@ -90,11 +99,24 @@ def prep_sample(
     # (everything is masked segment ops), but sorted pillar ids let the
     # device use indices_are_sorted=True segment reductions — measured
     # ~2x faster on TPU. Invalid/overflow ids sort last. Within-pillar
-    # order is irrelevant, so the (6x faster) unstable sort is fine.
-    order = np.argsort(pillar_of_point)
+    # order is irrelevant, so any sort works: the native stable counting
+    # sort (O(n), ~5x np.argsort at 120k rows) when the library is built,
+    # np.argsort otherwise.
+    from pcaccumulation_tpu.native.host import native_sort_by_key
+
+    order = native_sort_by_key(pillar_of_point, cap["max_pillars"])
+    if order is None:
+        order = np.argsort(pillar_of_point)
     points, time_idx = points[order], time_idx[order]
-    sd, fb, inst, sem = sd[order], fb[order], inst[order], sem[order]
     pillar_of_point, in_range = pillar_of_point[order], in_range[order]
+    if with_labels:
+        # crop-select and pillar-sort composed into ONE gather per label
+        # channel (the two-round form cost ~2x on 100k+ rows)
+        final_idx = sel_idx[order]
+        sd, fb = sd[final_idx], fb[final_idx]
+        inst, sem = inst[final_idx], sem[final_idx]
+    else:
+        sd = fb = inst = sem = np.zeros(order.shape[0], np.int32)
 
     sample = {
         "points": points,

@@ -21,13 +21,18 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "pcacc_host.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
+                ["make", "-C", _DIR, "-B"], check=True, capture_output=True,
+                timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None  # no library at all; else use the stale build
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -50,12 +55,34 @@ def get_lib():
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    if hasattr(lib, "sort_by_key"):
+        lib.sort_by_key.restype = ctypes.c_int
+        lib.sort_by_key.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
 
 def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_sort_by_key(keys: np.ndarray, n_buckets: int):
+    """Stable counting-sort argsort over small-int keys (invalid/overflow
+    keys >= n_buckets share one LAST bucket). Returns int32 order or None
+    when the library (or symbol) is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sort_by_key"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    order = np.empty(keys.shape[0], np.int32)
+    lib.sort_by_key(
+        _ptr(keys, ctypes.c_int32), ctypes.c_int64(keys.shape[0]),
+        ctypes.c_int32(n_buckets), _ptr(order, ctypes.c_int32),
+    )
+    return order
 
 
 def native_voxelize(points, time_idx, voxel_size, pc_range, n_sweeps, max_pillars):

@@ -108,4 +108,30 @@ int transform_filter(float* points, int64_t n, const float* tsfm, float scale,
   return 0;
 }
 
+// Stable counting sort by small-integer key: order_out receives the
+// permutation that sorts keys ascending, equal keys keeping their input
+// order. Keys are clamped into [0, n_buckets] (one shared overflow bucket
+// — the voxelizer's invalid/overflow pillar ids, which must sort LAST).
+// Replaces np.argsort over pillar ids in the per-sample prep: O(n +
+// n_buckets) vs O(n log n), measured ~5x on the 120k-point nuScenes prep
+// (tools/PROFILE_r12.md).
+int sort_by_key(const int32_t* keys, int64_t n, int32_t n_buckets,
+                int32_t* order_out) {
+  std::vector<int32_t> offsets(static_cast<size_t>(n_buckets) + 2, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = keys[i];
+    if (k < 0) k = 0;
+    if (k > n_buckets) k = n_buckets;
+    ++offsets[k + 1];
+  }
+  for (size_t b = 1; b < offsets.size(); ++b) offsets[b] += offsets[b - 1];
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = keys[i];
+    if (k < 0) k = 0;
+    if (k > n_buckets) k = n_buckets;
+    order_out[offsets[k]++] = static_cast<int32_t>(i);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -154,8 +154,11 @@ class Predictor:
         }
 
     def _prep(self, points, time_idx):
+        # with_labels=False: the neutral zero labels need no gathering,
+        # and their device copies are the cached _CONST_KEYS anyway
         return collate([
-            prep_sample(self._wrap(points, time_idx), self.cfg, augment=False)
+            prep_sample(self._wrap(points, time_idx), self.cfg,
+                        augment=False, with_labels=False)
         ])
 
     def _invoke(self, jbatch):

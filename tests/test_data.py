@@ -126,6 +126,41 @@ def test_prep_sample_shapes_and_masks():
     np.testing.assert_allclose(s["ego_motion_gt"][0], np.eye(4), atol=1e-6)
 
 
+def test_native_sort_by_key_matches_stable_argsort():
+    """The native counting sort must equal a stable np.argsort with
+    overflow keys clamped into the shared last bucket (skip when the
+    native library is unavailable — prep falls back to np.argsort)."""
+    from pcaccumulation_tpu.native.host import native_sort_by_key
+
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 40007, 120000).astype(np.int32)
+    order = native_sort_by_key(keys, 40000)
+    if order is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ref = np.argsort(np.clip(keys, 0, 40000), kind="stable")
+    np.testing.assert_array_equal(order, ref)
+
+
+def test_prep_sample_label_free_path_matches():
+    """with_labels=False (the serving prep) must produce an identical
+    sample apart from zeroed label channels — same point order, same
+    pillar assignment, same GT poses."""
+    cfg = small_cfg()
+    data = generate_sample(seed=2, n_frames=5)
+    a = prep_sample(dict(data), cfg, augment=False)
+    b = prep_sample(dict(data), cfg, augment=False, with_labels=False)
+    assert set(a) == set(b)
+    label_keys = ("sd_labels", "fb_labels", "inst_labels", "sem_labels")
+    for k in a:
+        if k in label_keys:
+            assert (b[k] == 0).all(), k
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert a["inst_labels"].max() > 0  # labelled path is nontrivial
+
+
 def test_augmentation_preserves_gt_consistency():
     """Pose conjugation must keep reconstruction consistent after augmentation
     (dataset.py:118-138)."""
