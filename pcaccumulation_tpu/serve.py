@@ -137,8 +137,26 @@ class Predictor:
 
     def _wrap(self, points, time_idx):
         """Raw scan -> the dataset dict contract with neutral GT (the GT
-        fields only feed metric outputs in test mode)."""
+        fields only feed metric outputs in test mode). Validates the raw
+        sensor contract up front — a malformed scan must fail with a
+        clear message here, not as garbage labels or an index error deep
+        in postprocessing."""
         t = self.n_frames
+        points = np.asarray(points, np.float32)
+        time_idx = np.asarray(time_idx)
+        if points.ndim != 2 or points.shape[1] != 3:
+            raise ValueError(
+                f"points must be [m, 3] sensor-frame xyz; got {points.shape}")
+        if time_idx.shape != (points.shape[0],):
+            raise ValueError(
+                f"time_idx must be [m] = [{points.shape[0]}] frame indices; "
+                f"got {time_idx.shape}")
+        if not np.issubdtype(time_idx.dtype, np.integer):
+            raise ValueError(f"time_idx must be integer, got {time_idx.dtype}")
+        if time_idx.size and (time_idx.min() < 0 or time_idx.max() >= t):
+            raise ValueError(
+                f"time_idx values must lie in [0, n_frames={t}); got "
+                f"[{time_idx.min()}, {time_idx.max()}]")
         m = points.shape[0]
         eye = np.broadcast_to(np.eye(4, dtype=np.float32), (t, 4, 4)).copy()
         k = self.cfg["capacity"]["max_instances"]

@@ -125,6 +125,23 @@ def test_export_roundtrip_matches_live_predictor(tmp_path):
         assert json.loads(str(z["cfg"]))["voxel_generator"]["n_sweeps"] == 3
 
 
+def test_predict_validates_raw_scan_contract():
+    import pytest
+
+    pred = Predictor(_tiny_cfg())
+    pts, tid = _scan(0)
+    with pytest.raises(ValueError, match=r"\[m, 3\]"):
+        pred.predict(pts[:, :2], tid)
+    with pytest.raises(ValueError, match="time_idx must be"):
+        pred.predict(pts, tid[:-1])
+    with pytest.raises(ValueError, match="integer"):
+        pred.predict(pts, tid.astype(np.float32))
+    with pytest.raises(ValueError, match="n_frames"):
+        bad = tid.copy()
+        bad[0] = 99
+        pred.predict(pts, bad)
+
+
 def test_predict_stream_deep_pipeline_order_and_equality():
     """The 3-stage pipelined stream (producer H2D + async dispatch +
     delayed fetch) must preserve input order and match sequential
