@@ -52,6 +52,7 @@ def build_loaders(cfg):
             batch_size=cfg[bs_key]["batch_size"],
             shuffle=(split == "train"),
             num_workers=cfg[bs_key]["num_workers"],
+            mode=cfg[bs_key].get("worker_mode", "thread"),
             drop_last=(split != "test"),
             seed=cfg["misc"]["seed"],
             # multi-host: each process loads a disjoint slice

@@ -116,7 +116,12 @@ def prep_sample(
         sd, fb = sd[final_idx], fb[final_idx]
         inst, sem = inst[final_idx], sem[final_idx]
     else:
-        sd = fb = inst = sem = np.zeros(order.shape[0], np.int32)
+        # one allocation aliased four ways on purpose (serving batches
+        # never mutate labels); read-only so any future in-place write
+        # fails loudly instead of corrupting all four channels
+        zeros = np.zeros(order.shape[0], np.int32)
+        zeros.setflags(write=False)
+        sd = fb = inst = sem = zeros
 
     sample = {
         "points": points,

@@ -22,8 +22,10 @@ def get_lib():
     if _lib is not None:
         return _lib
     src = os.path.join(_DIR, "pcacc_host.cpp")
+    # an install may ship only the .so; a missing source is "not stale"
     stale = (not os.path.exists(_LIB_PATH)
-             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+             or (os.path.exists(src)
+                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)))
     if stale:
         try:
             subprocess.run(

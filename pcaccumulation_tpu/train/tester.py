@@ -124,6 +124,7 @@ class Tester:
             ds = SceneDataset(cfg, "test", augment=False, scene_name=scene)
             loader = make_loader(ds, batch_size=1, shuffle=False,
                                  num_workers=cfg["test"]["num_workers"],
+                                 mode=cfg["test"].get("worker_mode", "thread"),
                                  drop_last=False)
             buf = {k: [] for k in ("fb_label", "sd_label", "epe_per_point",
                                    "relative_error", "time_indice")}

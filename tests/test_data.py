@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -229,6 +231,75 @@ def test_loader_worker_failure_propagates(tmp_path):
 
     loader = make_loader(BadDataset(), batch_size=2, num_workers=2, seed=0)
     with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
+class _IdxDataset:
+    """Top-level so fork-children resolve it; returns index-tagged dicts."""
+
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full(3, i, np.int64), "y": np.arange(4) * i}
+
+
+class _BadProcDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 3:
+            raise ValueError("boom")
+        return {"x": np.zeros(2)}
+
+
+class _DyingProcDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 3:
+            os._exit(13)  # simulate a segfault/OOM kill: no exception raised
+        return {"x": np.zeros(2)}
+
+
+def test_process_loader_matches_sync():
+    """mode="process" (the reference's worker-process model,
+    libs/dataloader.py:57) yields batch-for-batch IDENTICAL output to the
+    synchronous loader — and in the original order (the round-robin
+    consumer is deterministic, unlike thread mode's arbitrary
+    interleave)."""
+    ds = _IdxDataset(10)
+    ref = list(make_loader(ds, batch_size=2, num_workers=0, seed=3))
+    for workers in (1, 2, 3):
+        got = list(make_loader(ds, batch_size=2, num_workers=workers,
+                               mode="process", seed=3))
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert sorted(a) == sorted(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_process_loader_worker_failure_propagates():
+    """A worker-process exception must surface in the consumer (with the
+    worker's traceback) instead of deadlocking the queue get."""
+    loader = make_loader(_BadProcDataset(), batch_size=2, num_workers=2,
+                         mode="process", seed=0)
+    with pytest.raises(RuntimeError, match="worker failed.*boom"):
+        list(loader)
+
+
+def test_process_loader_worker_death_detected():
+    """A worker that DIES without raising (segfault/OOM-kill analogue)
+    must be detected by liveness polling, not hang the consumer."""
+    loader = make_loader(_DyingProcDataset(), batch_size=2, num_workers=2,
+                         mode="process", seed=0)
+    with pytest.raises(RuntimeError, match="died"):
         list(loader)
 
 

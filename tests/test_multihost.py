@@ -26,6 +26,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import os, sys
@@ -235,10 +236,12 @@ def _run_two_process(tmp_path, mode="", worker_src=_WORKER, timeout=600):
     return results
 
 
+@pytest.mark.slow
 def test_two_process_dcn_train_step(tmp_path):
     _run_two_process(tmp_path)
 
 
+@pytest.mark.slow
 def test_two_process_dcn_hybrid_mesh(tmp_path):
     """The (2 data x 2 frame) hybrid mesh SPANNING the two processes: the
     frame axis crosses the DCN boundary, so the worker's activation
@@ -248,6 +251,7 @@ def test_two_process_dcn_hybrid_mesh(tmp_path):
     _run_two_process(tmp_path, mode="hybrid")
 
 
+@pytest.mark.slow
 def test_two_process_dcn_motionnet_train_step(tmp_path):
     """The REAL model across the process boundary (VERDICT r3 Missing #3):
     the tiny-graph MotionNet train step on a (2 data x 2 frame) mesh

@@ -785,6 +785,7 @@ def test_zero1_optimizer_sharding(tmp_path):
             err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_zero1_elastic_restore(tmp_path):
     """Run the elastic-restore proof in its OWN pytest process.
 

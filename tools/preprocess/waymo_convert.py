@@ -117,8 +117,15 @@ def convert_file(path: str, out_dir: str, n_sweeps: int,
     return infos
 
 
-# fork-inherited per-pool constants (see nuscenes_convert._POOL_STATE)
+# per-pool constants, set by the spawn initializer in each worker (see
+# nuscenes_convert._POOL_STATE for the fork-inherited variant; this
+# converter must NOT fork — the parent's probe import of TensorFlow
+# leaves mutexes/threadpools that forked children can deadlock on)
 _POOL_STATE: dict = {}
+
+
+def _init_pool(out_dir, n_sweeps, freq):
+    _POOL_STATE.update(out_dir=out_dir, n_sweeps=n_sweeps, freq=freq)
 
 
 def _convert_file_worker(path):
@@ -147,14 +154,13 @@ def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int,
         # tfrecords (dataset_toolbox/waymo/preprocess.py:61-74)
         import multiprocessing as mp
 
-        _POOL_STATE.update(out_dir=out_dir, n_sweeps=n_sweeps, freq=freq)
-        try:
-            ctx = mp.get_context("fork")
-            with ctx.Pool(workers) as pool:
-                for rels in pool.imap(_convert_file_worker, files):
-                    infos.extend(rels)
-        finally:
-            _POOL_STATE.clear()
+        # spawn, not fork: TensorFlow (imported above as a probe) is not
+        # fork-safe; spawned workers import it fresh inside convert_file
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(workers, initializer=_init_pool,
+                      initargs=(out_dir, n_sweeps, freq)) as pool:
+            for rels in pool.imap(_convert_file_worker, files):
+                infos.extend(rels)
     else:
         for path in files:
             infos.extend(convert_file(path, out_dir, n_sweeps, freq))
