@@ -277,6 +277,42 @@ class ClusterTracker:
         return self._reap(np.arange(self.n_tracks))
 
 
+def centroids_from_labels(points: np.ndarray, time_idx: np.ndarray,
+                          inst_labels: np.ndarray, n_frames: int):
+    """Bridge from the pipeline's per-point instance labels to tracker
+    observations: per-frame centroids of every instance (label >= 1;
+    0 = background), e.g. directly from ``serve.Predictor`` output::
+
+        out = predictor.predict(points, time_idx)
+        obs, infos = centroids_from_labels(
+            out["points"], out["time_idx"], out["inst_labels"], T)
+        tracks, ids = track_scene(obs, infos)
+
+    The reference's tracker consumes per-frame cluster centers the same
+    way (toolbox/tracker.py:306-344); this helper is the explicit glue
+    its pipeline leaves implicit. Returns (centroids_per_frame,
+    infos_per_frame): for each frame t a [N_t, 3] array and N_t info
+    dicts carrying ``frame_id`` / ``instance_id`` / ``n_points``.
+    """
+    points = np.asarray(points)
+    time_idx = np.asarray(time_idx)
+    inst_labels = np.asarray(inst_labels)
+    obs, infos = [], []
+    for t in range(n_frames):
+        cents, inf = [], []
+        sel = time_idx == t
+        for k in np.unique(inst_labels[sel]):
+            if k <= 0:
+                continue
+            m = sel & (inst_labels == k)
+            cents.append(points[m].mean(0))
+            inf.append({"frame_id": t, "instance_id": int(k),
+                        "n_points": int(m.sum())})
+        obs.append(np.asarray(cents, np.float64).reshape(-1, points.shape[1]))
+        infos.append(inf)
+    return obs, infos
+
+
 def track_scene(centroids_per_frame, infos_per_frame=None,
                 config: dict | None = None):
     """Run the tracker over a whole scene of per-frame centroid arrays.
