@@ -57,15 +57,25 @@ _CONST_KEYS = ("sd_labels", "fb_labels", "inst_labels", "sem_labels",
                "ego_motion_gt", "inst_motion_gt")
 
 
-def _get_step(model):
-    """ONE jitted step per model config, shared across Predictors.
+def _mesh_key(mesh):
+    """Cache-key signature of a mesh (None = single-device serving)."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _get_step(model, mesh=None):
+    """ONE jitted step per (model config, mesh), shared across Predictors.
 
     Two per-instance `jax.jit(lambda ...)` wrappers defined at the same
     code location over equal-by-config flax modules collided in jax's
     dispatch cache ("Execution supplied 199 buffers but compiled program
     expected 201"); sharing a single wrapper per config makes the reuse
     explicit and collision-free."""
-    key = repr(model)  # flax module repr includes the full config
+    # flax module repr includes the full config; the mesh changes the
+    # compiled partitioning, so it is part of the key
+    key = (repr(model), _mesh_key(mesh))
     fn = _STEP_CACHE.get(key)
     if fn is not None:
         _STEP_CACHE.move_to_end(key)
@@ -105,10 +115,21 @@ class Predictor:
     """
 
     def __init__(self, cfg, variables=None, ckpt_path: str | None = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, mesh=None):
+        """mesh: optional `jax.sharding.Mesh` for LATENCY-SHARDED serving —
+        the single sequence's backbone is partitioned over the mesh's
+        frame/spatial axes (enable via cfg["parallel"]["frame_devices"] /
+        ["spatial_devices"], exactly as in training; the data axis is
+        useless at B=1). Inputs are replicated; the model's own sharding
+        constraints (models/motionnet.py) split the per-frame UNet and
+        BEV bands across devices, cutting the measured ~50 ms single-chip
+        device floor the way frame-SP cuts the train step. Output
+        equality vs mesh-less serving is pinned by
+        tests/test_serve.py::test_predict_on_mesh_matches_single_device."""
         self.cfg = cfg
         self.n_frames = cfg["voxel_generator"]["n_sweeps"]
         self.model = MotionNet(cfg)
+        self.mesh = mesh
         # fixed key: inference is DETERMINISTIC (same input -> same output);
         # the "sample" rng only drives ego-motion keypoint subsampling
         self._rng = jax.random.key(rng_seed)
@@ -119,10 +140,11 @@ class Predictor:
             init_fn = jax.jit(
                 lambda rngs, b: self.model.init(rngs, b, train=False, mode="val")
             )
-            variables = init_fn(
-                {"params": jax.random.key(0), "sample": jax.random.key(1)},
-                jbatch,
-            )
+            with self._mesh_ctx():
+                variables = init_fn(
+                    {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                    jbatch,
+                )
             if ckpt_path:
                 state = load_checkpoint(ckpt_path)
                 variables = dict(variables)
@@ -133,10 +155,21 @@ class Predictor:
                     variables["batch_stats"] = partial_load(
                         state["batch_stats"], variables["batch_stats"]
                     )
+        if mesh is not None:
+            from pcaccumulation_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, mesh)
         self.variables = variables
 
-        self._step = _get_step(self.model)
+        self._step = _get_step(self.model, mesh)
         self._const_dev = None  # first _to_device call captures _CONST_KEYS
+
+    def _mesh_ctx(self):
+        """Ambient-mesh context (the model's bare-P sharding constraints
+        resolve against it at trace time); no-op without a mesh."""
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     def _dummy_scan(self):
         t = self.n_frames
@@ -189,7 +222,8 @@ class Predictor:
         ])
 
     def _invoke(self, jbatch):
-        return self._step(self.variables, jbatch, self._rng)
+        with self._mesh_ctx():  # trace-time: constraints bind to the mesh
+            return self._step(self.variables, jbatch, self._rng)
 
     def _to_device(self, batch):
         """Transfer a prepped batch, reusing the device-resident constant
@@ -207,10 +241,19 @@ class Predictor:
             "_to_device caches neutral-GT leaves; batches with real "
             "labels must not flow through the serving path"
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def put(x):  # replicate: B=1 inputs shard nothing themselves
+                return jax.device_put(np.asarray(x), rep)
+        else:
+            put = jnp.asarray
         if self._const_dev is None:
-            self._const_dev = {k: jnp.asarray(batch[k]) for k in _CONST_KEYS}
+            self._const_dev = {k: put(batch[k]) for k in _CONST_KEYS}
         const = self._const_dev
-        return {k: const[k] if k in const else jnp.asarray(v)
+        return {k: const[k] if k in const else put(v)
                 for k, v in batch.items()}
 
     def _postproc(self, batch, out):
@@ -274,6 +317,12 @@ class Predictor:
 
         from jax import export as jexport
 
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "export targets single-device deployment artifacts; build "
+                "the Predictor without a mesh to export, and pass mesh= at "
+                "serve time for latency-sharded jit serving"
+            )
         variables, step = self.variables, self._step
 
         def fn(batch, key_data):
@@ -386,6 +435,7 @@ class ExportedPredictor(Predictor):
         self._exported_call = jax.jit(exported.call)
         self.variables = None
         self.model = None
+        self.mesh = None  # artifacts are single-device (see export())
         self._const_dev = None
 
     def export(self, path: str) -> None:
