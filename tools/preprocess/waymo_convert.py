@@ -117,15 +117,10 @@ def convert_file(path: str, out_dir: str, n_sweeps: int,
     return infos
 
 
-# per-pool constants, set by the spawn initializer in each worker (see
-# nuscenes_convert._POOL_STATE for the fork-inherited variant; this
-# converter must NOT fork — the parent's probe import of TensorFlow
-# leaves mutexes/threadpools that forked children can deadlock on)
+# fork-inherited per-pool constants (see nuscenes_convert._POOL_STATE).
+# Fork is safe here ONLY because convert() keeps the parent TF-free in
+# the workers>1 path — see the comment there.
 _POOL_STATE: dict = {}
-
-
-def _init_pool(out_dir, n_sweeps, freq):
-    _POOL_STATE.update(out_dir=out_dir, n_sweeps=n_sweeps, freq=freq)
 
 
 def _convert_file_worker(path):
@@ -135,15 +130,22 @@ def _convert_file_worker(path):
 
 def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int,
             freq: float = 10.0, workers: int = 1):
-    try:
-        import tensorflow  # noqa: F401
-        from waymo_open_dataset import dataset_pb2  # noqa: F401
-        from waymo_open_dataset.utils import frame_utils  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise SystemExit(
-            "waymo-open-dataset-tf and tensorflow are required "
-            f"(import failed: {e})"
-        )
+    if workers <= 1:
+        # probe the heavyweight deps up front for a clear message. ONLY
+        # in the serial path: TensorFlow is not fork-safe, so the
+        # parallel path below must fork BEFORE any parent-side TF import
+        # (forked children inherit TF's mutexes/threadpools mid-state
+        # and can deadlock); each worker imports TF itself inside
+        # convert_file.
+        try:
+            import tensorflow  # noqa: F401
+            from waymo_open_dataset import dataset_pb2  # noqa: F401
+            from waymo_open_dataset.utils import frame_utils  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise SystemExit(
+                "waymo-open-dataset-tf and tensorflow are required "
+                f"(import failed: {e})"
+            )
 
     files = sorted(glob.glob(os.path.join(tfrecord_dir, "*.tfrecord")))
     os.makedirs(out_dir, exist_ok=True)
@@ -154,13 +156,19 @@ def convert(tfrecord_dir: str, out_dir: str, n_sweeps: int,
         # tfrecords (dataset_toolbox/waymo/preprocess.py:61-74)
         import multiprocessing as mp
 
-        # spawn, not fork: TensorFlow (imported above as a probe) is not
-        # fork-safe; spawned workers import it fresh inside convert_file
-        ctx = mp.get_context("spawn")
-        with ctx.Pool(workers, initializer=_init_pool,
-                      initargs=(out_dir, n_sweeps, freq)) as pool:
-            for rels in pool.imap(_convert_file_worker, files):
-                infos.extend(rels)
+        _POOL_STATE.update(out_dir=out_dir, n_sweeps=n_sweeps, freq=freq)
+        try:
+            ctx = mp.get_context("fork")  # TF-clean parent: fork is safe
+            with ctx.Pool(workers) as pool:
+                for rels in pool.imap(_convert_file_worker, files):
+                    infos.extend(rels)
+        except ImportError as e:  # a worker's TF import failed
+            raise SystemExit(
+                "waymo-open-dataset-tf and tensorflow are required "
+                f"(worker import failed: {e})"
+            )
+        finally:
+            _POOL_STATE.clear()
     else:
         for path in files:
             infos.extend(convert_file(path, out_dir, n_sweeps, freq))
