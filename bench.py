@@ -34,6 +34,8 @@ from pcaccumulation_tpu.models import MotionNet
 
 REF_BASELINE_SEQ_PER_SEC = 10.0  # documented assumption, see module docstring
 
+_PROCESS_T0 = time.perf_counter()  # companion budget anchor (see below)
+
 
 def bench_cfg(batch_size: int = 1):
     cfg = load_config()
@@ -124,12 +126,17 @@ def _production_companions() -> dict:
     shorter spreads (each forward is 3-5x the T=4 one). Best-effort: any
     failure (e.g. a cold compile hitting a driver timeout budget) reports
     as an error string instead of sinking the headline. Skip entirely
-    with PCACC_BENCH_COMPANIONS=0."""
+    with PCACC_BENCH_COMPANIONS=0; each companion is also skipped once
+    PCACC_BENCH_COMPANION_BUDGET_S (default 1200 s) of process wall
+    clock has been spent — a cold /tmp/jaxcache costs one graph compile
+    per companion, and the headline artifact must never time out for
+    them (warm runs finish in seconds)."""
     import os
 
     out = {}
     if os.environ.get("PCACC_BENCH_COMPANIONS", "1") == "0":
         return {"production_presets": "skipped (PCACC_BENCH_COMPANIONS=0)"}
+    budget_s = float(os.environ.get("PCACC_BENCH_COMPANION_BUDGET_S", "1200"))
 
     def nuscene():
         from tools.trace_forward import nuscene_batch, nuscene_cfg
@@ -146,6 +153,12 @@ def _production_companions() -> dict:
 
     for key, make in (("nuscene_t11_val_seq_s", nuscene),
                       ("waymo_t5_val_seq_s", waymo)):
+        elapsed = time.perf_counter() - _PROCESS_T0
+        if elapsed > budget_s:
+            out[key] = (f"skipped: {elapsed:.0f}s elapsed > "
+                        f"{budget_s:.0f}s companion budget "
+                        "(cold compile cache — rerun bench.py warm)")
+            continue
         try:
             cfg, batch = make()
             jbatch = jax.tree.map(jnp.asarray, batch)
