@@ -52,6 +52,7 @@ def test_cli_rejects_indivisible_batch():
         cli.main(_argv("--parallel.num_devices=4", batch="3"))
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_train(tmp_path, monkeypatch):
     """One real `python main.py <cfg> 1 1` training run (shrunk op-graph,
     synthetic dataset): exercises config loading + dotted overrides, the

@@ -111,6 +111,7 @@ def test_shard_batch_placement():
     assert shards[0].data.shape == (1, 16, 3)
 
 
+@pytest.mark.slow
 def test_data_parallel_equals_single_device():
     """Same global batch: k train steps on an 8-device sharded mesh must
     produce the same params/loss as on a 1-device mesh (the reference has
@@ -221,6 +222,7 @@ def test_data_parallel_equals_single_device():
             err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_frame_parallel_equals_single_device():
     """Frame-axis sequence parallelism (SURVEY §2.4: the per-frame UNet is
     embarrassingly parallel across T until the STPN temporal fusion): the
@@ -410,6 +412,7 @@ def test_inference_parallel_equals_single_device():
             out["inst_labels_est"], ref["inst_labels_est"], err_msg=label)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_sweeps", [5, 11])
 def test_frame_parallel_uneven_t_equals_single_device(n_sweeps):
     """Frame-SP equivalence at the PRODUCTION frame counts (VERDICT r3
@@ -545,6 +548,7 @@ def test_frame_parallel_uneven_t_equals_single_device(n_sweeps):
             err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_hybrid_3axis_parallel_equals_single_device():
     """Full hybrid (2 data x 2 frame x 2 spatial) 3-D mesh: batches over
     `data`, the per-frame backbone over the temporal frames AND over the
@@ -790,6 +794,7 @@ def test_parallel_config_runs_without_mesh_context():
     assert np.isfinite(float(results["ego_l1_loss"]))
 
 
+@pytest.mark.slow
 def test_zero1_optimizer_sharding(tmp_path):
     """ZeRO-1 (parallel.zero1): adam moments + MultiSteps accumulators
     sharded over the data axis. Three claims: (1) the state is GENUINELY
@@ -983,6 +988,7 @@ def test_zero1_elastic_restore_inner(tmp_path):
     assert_matches_ref(tr_c, "1dev->4dev")
 
 
+@pytest.mark.slow
 def test_trainer_on_hybrid_mesh_epoch(tmp_path):
     """Full Trainer epochs on the hybrid (2 data x 2 frame) mesh with
     ZeRO-1 on — pins the trainer-side wiring end to end: init and the
@@ -1021,6 +1027,7 @@ def test_trainer_on_hybrid_mesh_epoch(tmp_path):
     assert m2["loss"].avg < m1["loss"].avg
 
 
+@pytest.mark.slow
 def test_trainer_on_mesh_epoch(tmp_path):
     """Full Trainer epoch with the batch sharded over a 4-device mesh:
     the jitted train step runs with XLA-inserted gradient psums and the
