@@ -374,9 +374,10 @@ def test_inference_parallel_equals_single_device():
     keys = ("ego_motion_est", "rec_est", "mos_est", "fb_est_per_points",
             "inst_labels_est", "offset_est")
 
-    def run(n_devices, frame_devices):
+    def run(n_devices, frame_devices, spatial_devices=1):
         cfg = copy.deepcopy(base_cfg)
         cfg["parallel"]["frame_devices"] = frame_devices
+        cfg["parallel"]["spatial_devices"] = spatial_devices
         model = MotionNet(cfg)
 
         def fwd(v, b):
@@ -386,7 +387,8 @@ def test_inference_parallel_equals_single_device():
 
         if n_devices == 1:
             return jax.device_get(jax.jit(fwd)(variables, jbatch0))
-        mesh = make_mesh(n_devices, frame_devices=frame_devices)
+        mesh = make_mesh(n_devices, frame_devices=frame_devices,
+                         spatial_devices=spatial_devices)
         with mesh:
             v = replicate(variables, mesh)
             jb = shard_batch(jbatch0, mesh)
@@ -394,7 +396,8 @@ def test_inference_parallel_equals_single_device():
         return jax.device_get(out)
 
     ref = run(1, 1)
-    for label, out in (("data8", run(8, 1)), ("hybrid2x2", run(4, 2))):
+    for label, out in (("data8", run(8, 1)), ("hybrid2x2", run(4, 2)),
+                       ("spatial2x2", run(4, 1, 2))):
         np.testing.assert_allclose(
             out["ego_motion_est"], ref["ego_motion_est"], atol=1e-5,
             err_msg=label)

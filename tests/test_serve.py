@@ -79,19 +79,23 @@ def test_predict_on_mesh_matches_single_device():
 
     cfg = _tiny_cfg()
     p0 = Predictor(cfg)
-    cfg2 = copy.deepcopy(cfg)
-    cfg2["parallel"]["frame_devices"] = 2  # T=3: GSPMD pads the odd T
-    mesh = make_mesh(2, frame_devices=2)
-    pm = Predictor(cfg2, variables=p0.variables, mesh=mesh)
-
     pts, tid = _scan(5)
-    out0, outm = p0.predict(pts, tid), pm.predict(pts, tid)
-    assert sorted(out0) == sorted(outm)
-    for k in ("rec_points", "flow", "offset", "ego_motion",
-              "transformed_points"):
-        np.testing.assert_allclose(outm[k], out0[k], atol=1e-4, err_msg=k)
-    for k in ("mos", "fb", "inst_labels", "time_idx"):
-        np.testing.assert_array_equal(outm[k], out0[k], err_msg=k)
+    out0 = p0.predict(pts, tid)
+
+    for axis in ("frame_devices", "spatial_devices"):
+        cfg2 = copy.deepcopy(cfg)
+        cfg2["parallel"][axis] = 2  # T=3: GSPMD pads the odd frame count
+        mesh = make_mesh(2, **{axis: 2})
+        pm = Predictor(cfg2, variables=p0.variables, mesh=mesh)
+        outm = pm.predict(pts, tid)
+        assert sorted(out0) == sorted(outm)
+        for k in ("rec_points", "flow", "offset", "ego_motion",
+                  "transformed_points"):
+            np.testing.assert_allclose(outm[k], out0[k], atol=1e-4,
+                                       err_msg=(axis, k))
+        for k in ("mos", "fb", "inst_labels", "time_idx"):
+            np.testing.assert_array_equal(outm[k], out0[k],
+                                          err_msg=str((axis, k)))
 
     # the export artifact remains a single-device product
     import pytest
