@@ -73,8 +73,11 @@ class STPN(nn.Module):
     AFTER the max as plain 3x3 2-D convs on the fused [B, H, W, C] map,
     cutting each moved layer's FLOPs (T*C)^2 -> C^2 (121x at T=11) at
     the cost of shallower temporal mixing — different parameters, so no
-    checkpoint parity; speed + convergence evidence in
-    tools/PROFILE_r11.md (-6.7% val step at T=11; train unchanged)."""
+    checkpoint parity. Measured (tools/PROFILE_r11.md): -6.7% val step
+    at T=11, train unchanged; the 3-seed A/B shows k=2 costs a
+    CONSISTENT ~0.04 fb_iou and ~8-12% ego error (mos_iou/inst
+    reconstruction unaffected) — an accuracy/throughput trade, not a
+    free lunch."""
 
     feat_dim: int = 32
     n_frames: int = 5
