@@ -233,9 +233,9 @@ class Predictor:
         This substitution is only sound because every batch comes from
         `_wrap`, whose GT leaves are ALWAYS the neutral constants; a
         caller feeding real labels/poses through this path would see
-        them silently dropped. Guard that contract cheaply: sd_labels is
-        O(1)-checkable via its first element + the fact that `_wrap`
-        builds it with np.zeros."""
+        them silently dropped. Guard that contract cheaply: an all-zero
+        scan of the int sd_labels array (~µs at 120k points, vs the ms
+        transfer it gates) — assert-based, so `-O` removes it."""
         sd = np.asarray(batch["sd_labels"])
         assert sd.size == 0 or not sd.any(), (
             "_to_device caches neutral-GT leaves; batches with real "
