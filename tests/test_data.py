@@ -128,6 +128,47 @@ def test_prep_sample_shapes_and_masks():
     np.testing.assert_allclose(s["ego_motion_gt"][0], np.eye(4), atol=1e-6)
 
 
+def test_label_free_zero_labels_cannot_cross_corrupt():
+    """with_labels=False builds the four label channels from one aliased
+    zeros array (round-4 advisor finding): an in-place write to one
+    channel must either fail loudly (read-only alias) or be invisible to
+    the other channels (independent post-pad copies) — never silently
+    corrupt a sibling channel."""
+    cfg = small_cfg()
+    s = prep_sample(generate_sample(seed=3, n_frames=5), cfg,
+                    augment=False, with_labels=False)
+    sd = s["sd_labels"]
+    if sd.flags.writeable:
+        sd[0] = 7
+        for k in ("fb_labels", "inst_labels", "sem_labels"):
+            assert s[k][0] == 0, f"{k} corrupted through sd_labels alias"
+    else:
+        with pytest.raises(ValueError):
+            sd[0] = 7
+
+
+def test_native_lib_loads_without_source(monkeypatch):
+    """An install shipping only the .so (no pcacc_host.cpp) must load it
+    instead of raising FileNotFoundError from the staleness check or
+    attempting a rebuild (round-4 advisor finding)."""
+    import pcaccumulation_tpu.native.host as host
+
+    if host.get_lib() is None:
+        pytest.skip("native library unavailable")
+    real_exists = os.path.exists
+    monkeypatch.setattr(host, "_lib", None)  # force a fresh load
+    monkeypatch.setattr(
+        host.os.path, "exists",
+        lambda p: False if str(p).endswith(".cpp") else real_exists(p),
+    )
+
+    def _no_rebuild(*a, **k):
+        raise AssertionError("source missing must not trigger a rebuild")
+
+    monkeypatch.setattr(host.subprocess, "run", _no_rebuild)
+    assert host.get_lib() is not None
+
+
 def test_native_sort_by_key_matches_stable_argsort():
     """The native counting sort must equal a stable np.argsort with
     overflow keys clamped into the shared last bucket (skip when the
