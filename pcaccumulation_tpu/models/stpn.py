@@ -74,10 +74,10 @@ class STPN(nn.Module):
     cutting each moved layer's FLOPs (T*C)^2 -> C^2 (121x at T=11) at
     the cost of shallower temporal mixing — different parameters, so no
     checkpoint parity. Measured (tools/PROFILE_r11.md): -6.7% val step
-    at T=11, train unchanged; the 3-seed A/B shows k=2 costs a
-    CONSISTENT ~0.04 fb_iou and ~8-12% ego error (mos_iou/inst
-    reconstruction unaffected) — an accuracy/throughput trade, not a
-    free lunch."""
+    at T=11, train unchanged; the 4-seed A/B shows k=2 costs a
+    CONSISTENT ~0.035 fb_iou (4/4 seeds, plus a weaker worse-ego
+    trend; mos_iou/inst reconstruction unaffected) — an
+    accuracy/throughput trade, not a free lunch."""
 
     feat_dim: int = 32
     n_frames: int = 5
