@@ -74,9 +74,9 @@ class STPN(nn.Module):
     cutting each moved layer's FLOPs (T*C)^2 -> C^2 (121x at T=11) at
     the cost of shallower temporal mixing — different parameters, so no
     checkpoint parity. Measured (tools/PROFILE_r11.md): -6.7% val step
-    at T=11, train unchanged; the 4-seed A/B shows k=2 costs a
-    CONSISTENT ~0.035 fb_iou (4/4 seeds, plus a weaker worse-ego
-    trend; mos_iou/inst reconstruction unaffected) — an
+    at T=11, train unchanged; the 5-seed A/B shows k=2 costs a
+    CONSISTENT ~0.03 fb_iou (same sign 5/5 seeds, paired p~0.025;
+    ego/mos/inst metrics equivalent within noise) — an
     accuracy/throughput trade, not a free lunch."""
 
     feat_dim: int = 32
